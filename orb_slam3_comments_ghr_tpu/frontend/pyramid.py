@@ -1,0 +1,75 @@
+"""Image pyramid + Gaussian blur.
+
+Replaces ORBextractor::ComputePyramid (reference: src/ORBextractor.cc:1692,
+8 levels, scale factor 1.2, bilinear resize) and the pre-descriptor 7x7
+sigma=2 GaussianBlur (ORBextractor.cc:1628-1636).
+
+Images are float32 (H, W) grayscale. All shapes static per (H, W, n_levels)."""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_N_LEVELS = 8
+DEFAULT_SCALE = 1.2
+
+
+def level_shapes(h: int, w: int, n_levels: int = DEFAULT_N_LEVELS, scale: float = DEFAULT_SCALE):
+    """Static per-level (h, w) list."""
+    out = []
+    for lv in range(n_levels):
+        f = 1.0 / (scale ** lv)
+        out.append((max(8, int(round(h * f))), max(8, int(round(w * f)))))
+    return out
+
+
+def scale_factors(n_levels: int = DEFAULT_N_LEVELS, scale: float = DEFAULT_SCALE):
+    return jnp.array([scale ** i for i in range(n_levels)], jnp.float32)
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int = DEFAULT_N_LEVELS, scale: float = DEFAULT_SCALE):
+    """Returns a list of n_levels arrays, level 0 = input. Bilinear, antialiased
+    like cv::resize INTER_LINEAR used by the reference."""
+    h, w = img.shape
+    shapes = level_shapes(h, w, n_levels, scale)
+    levels = [img]
+    cur = img
+    for lv in range(1, n_levels):
+        cur = jax.image.resize(cur, shapes[lv], method="linear")
+        levels.append(cur)
+    return levels
+
+
+def _gauss_kernel_1d(ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    half = ksize // 2
+    x = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian with reflect padding (~cv BORDER_REFLECT_101)."""
+    k = _gauss_kernel_1d(ksize, sigma)
+    half = ksize // 2
+    x = jnp.pad(img, ((half, half), (half, half)), mode="reflect")
+    # rows
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        k[None, None, :, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    # cols
+    x = jax.lax.conv_general_dilated(
+        x,
+        k[None, None, None, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return x[0, 0]
