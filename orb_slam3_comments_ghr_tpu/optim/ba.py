@@ -1,0 +1,236 @@
+"""Windowed / global bundle adjustment: batched Levenberg-Marquardt with
+sparse Schur-complement reduction of landmarks.
+
+TPU-native replacement for the reference's g2o BlockSolver_6_3 +
+OptimizationAlgorithmLevenberg pipeline with marginalized landmarks
+(reference: src/Optimizer.cc:1758 LocalBundleAdjustment, :2850
+BundleAdjustment with setMarginalized(true) at :1991 => Schur).
+
+Design (SURVEY.md §7.1): the problem ships as fixed-shape padded SoA arrays —
+K camera poses, P landmarks, observations laid out as a dense (P, D) per-point
+table (D = max observations per point). Per LM iteration, everything is one
+fused XLA program:
+
+  residuals/Jacobians  : vmapped closed forms over (P, D)
+  H_pp (P,3,3), b_p    : reductions over the D axis
+  H_cc, b_c            : segment_sum over flattened observations by camera
+  W = Jc^T Omega Jp    : per-observation (6,3) blocks
+  Schur complement     : S = H_cc - sum_p W_p Hpp^-1 W_p^T assembled via a
+                         (P, D, D) pair expansion + segment_sum into (K,K)
+                         6x6 blocks; reduced system is dense (6K x 6K) and
+                         small — exactly what the MXU/Cholesky likes
+  back-substitution    : dp = Hpp^-1 (b_p - W^T dxc), batched 3x3 solves
+
+Fixed cameras are handled by a large diagonal prior on their blocks (their
+updates are numerically zero), replacing g2o's setFixed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, cameras
+from . import robust
+
+
+class BAProblem(NamedTuple):
+    """Padded BA problem. K cams, P points, D max obs per point.
+
+    cam_R: (K,3,3) world->cam rotations; cam_t: (K,3)
+    cam_fixed: (K,) bool — gauge/boundary cameras (LocalBA fixed observers)
+    p: (P,3) landmark positions
+    p_valid: (P,) bool
+    obs_cam: (P,D) int32 camera index (0 if padded)
+    obs_uv: (P,D,2) observed pixels
+    obs_ur: (P,D) right-u, <0 for mono observations
+    obs_level: (P,D) keypoint octave
+    obs_valid: (P,D) bool
+    """
+
+    cam_R: jnp.ndarray
+    cam_t: jnp.ndarray
+    cam_fixed: jnp.ndarray
+    p: jnp.ndarray
+    p_valid: jnp.ndarray
+    obs_cam: jnp.ndarray
+    obs_uv: jnp.ndarray
+    obs_ur: jnp.ndarray
+    obs_level: jnp.ndarray
+    obs_valid: jnp.ndarray
+
+
+FIXED_PRIOR = 1e12
+
+
+def _obs_terms(cam: cameras.Camera, prob: BAProblem, R, t, p, use_huber: bool):
+    """Per-observation residuals, Jacobians, robust weights.
+
+    Returns r (P,D,3), Jc (P,D,3,6), Jp (P,D,3,3), w (P,D), chi2 (P,D),
+    row_mask (P,D,3)."""
+    Ro = R[prob.obs_cam]          # (P,D,3,3)
+    to = t[prob.obs_cam]          # (P,D,3)
+    pc = jnp.einsum("pdij,pj->pdi", Ro, p) + to
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    uv_hat = cameras.project(cam, pc)
+    is_stereo = prob.obs_ur >= 0.0
+    ur_hat = cameras.stereo_right_u(cam, uv_hat[..., 0], z)
+
+    r_uv = prob.obs_uv - uv_hat
+    r_ur = jnp.where(is_stereo, prob.obs_ur - ur_hat, 0.0)
+    r = jnp.concatenate([r_uv, r_ur[..., None]], axis=-1)  # (P,D,3)
+    row_mask = jnp.concatenate(
+        [
+            jnp.broadcast_to(prob.obs_valid[..., None], r_uv.shape),
+            (prob.obs_valid & is_stereo)[..., None],
+        ],
+        axis=-1,
+    )
+
+    J_proj = cameras.project_jac(cam, pc)  # (P,D,2,3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
+    dpc_dxi = jnp.concatenate([eye, -lie.hat(pc)], axis=-1)  # (P,D,3,6)
+    d_ur_dpc = J_proj[..., 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf / (z * z)], axis=-1
+    )  # (P,D,3)
+    dh_dpc = jnp.concatenate([J_proj, d_ur_dpc[..., None, :]], axis=-2)  # (P,D,3,3)
+    Jc = -jnp.einsum("pdri,pdik->pdrk", dh_dpc, dpc_dxi)  # (P,D,3,6)
+    Jp = -jnp.einsum("pdri,pdik->pdrk", dh_dpc, Ro)       # (P,D,3,3)
+
+    info = robust.inv_level_sigma2(prob.obs_level)
+    chi2 = jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=-1) * info
+    delta2 = jnp.where(is_stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
+    w = robust.huber_weight(chi2, delta2) if use_huber else jnp.ones_like(chi2)
+    w = jnp.where(prob.obs_valid, w * info, 0.0)
+    return r, Jc, Jp, w, chi2, row_mask, delta2
+
+
+def _assemble(prob: BAProblem, r, Jc, Jp, w, row_mask, K: int):
+    """Normal-equation blocks + Schur complement pieces."""
+    P, D = prob.obs_cam.shape
+    Jcm = jnp.where(row_mask[..., None], Jc, 0.0)
+    Jpm = jnp.where(row_mask[..., None], Jp, 0.0)
+    rm = jnp.where(row_mask, r, 0.0)
+
+    # Landmark blocks. RHS uses b = -J^T W r so that H dx = b is the descent
+    # Gauss-Newton system (J = dr/dx).
+    H_pp = jnp.einsum("pdri,pd,pdrj->pij", Jpm, w, Jpm)  # (P,3,3)
+    b_p = -jnp.einsum("pdri,pd,pdr->pi", Jpm, w, rm)     # (P,3)
+
+    # Camera blocks via segment_sum over flattened obs
+    flat_cam = prob.obs_cam.reshape(-1)
+    Hc_blocks = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jcm).reshape(-1, 6, 6)
+    bc_blocks = -jnp.einsum("pdri,pd,pdr->pdi", Jcm, w, rm).reshape(-1, 6)
+    H_cc = jax.ops.segment_sum(Hc_blocks, flat_cam, num_segments=K)  # (K,6,6)
+    b_c = jax.ops.segment_sum(bc_blocks, flat_cam, num_segments=K)   # (K,6)
+
+    # Coupling blocks W_o = Jc^T w Jp per observation: (P,D,6,3)
+    W = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jpm)
+    return H_pp, b_p, H_cc, b_c, W
+
+
+def _schur_solve(prob: BAProblem, H_pp, b_p, H_cc, b_c, W, lam, K: int):
+    """Form the reduced camera system and solve; back-substitute landmarks."""
+    P, D = prob.obs_cam.shape
+    dtype = H_pp.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    # LM damping (multiplicative on diagonals, g2o-style)
+    H_pp_d = H_pp + lam * jnp.eye(3, dtype=dtype) * jnp.maximum(
+        jnp.diagonal(H_pp, axis1=-2, axis2=-1), 1e-6
+    )[..., None, :] * eye3
+    # guard degenerate (unobserved/padded) points
+    H_pp_d = H_pp_d + (~prob.p_valid)[:, None, None] * eye3
+    Hpp_inv = jnp.linalg.inv(H_pp_d + 1e-8 * eye3)  # (P,3,3)
+
+    # Reduced RHS: b_c - sum_o W_o Hpp_inv b_p
+    WHb = jnp.einsum("pdij,pjk,pk->pdi", W, Hpp_inv, b_p)  # (P,D,6)
+    rhs = b_c - jax.ops.segment_sum(
+        WHb.reshape(-1, 6), prob.obs_cam.reshape(-1), num_segments=K
+    )
+
+    # Schur pairs: S[c_i, c_j] -= W_i Hpp_inv W_j^T for obs i,j of same point
+    WG = jnp.einsum("pdij,pjk->pdik", W, Hpp_inv)          # (P,D,6,3)
+    pair = jnp.einsum("paik,pbjk->pabij", WG, W)           # (P,D,D,6,6)
+    ci = jnp.broadcast_to(prob.obs_cam[:, :, None], (P, D, D))
+    cj = jnp.broadcast_to(prob.obs_cam[:, None, :], (P, D, D))
+    pair_id = (ci * K + cj).reshape(-1)
+    S_corr = jax.ops.segment_sum(
+        pair.reshape(-1, 6, 6), pair_id, num_segments=K * K
+    ).reshape(K, K, 6, 6)
+
+    S = -S_corr
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(H_cc)
+    # damping + fixed-camera prior on the diagonal blocks
+    diag_scale = jnp.maximum(jnp.diagonal(H_cc, axis1=-2, axis2=-1), 1e-6)
+    damp = lam * diag_scale[..., None, :] * eye6
+    fixed = prob.cam_fixed[:, None, None] * FIXED_PRIOR * eye6
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(damp + fixed + 1e-6 * eye6)
+
+    S_dense = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    rhs_dense = rhs.reshape(K * 6)
+    # Jacobi scaling for f32 conditioning
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(S_dense), 1e-12))
+    S_scaled = S_dense / d[:, None] / d[None, :]
+    L = jax.scipy.linalg.cho_factor(S_scaled)
+    dxc = jax.scipy.linalg.cho_solve(L, rhs_dense / d) / d
+    dxc = dxc.reshape(K, 6)
+    dxc = jnp.where(prob.cam_fixed[:, None], 0.0, dxc)
+
+    # Back-substitute landmarks: dp = Hpp_inv (b_p - sum_o W_o^T dxc_o)
+    Wtdx = jnp.einsum("pdij,pdi->pj", W, dxc[prob.obs_cam])  # (P,3)
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, b_p - Wtdx)
+    dp = jnp.where(prob.p_valid[:, None], dp, 0.0)
+    return dxc, dp
+
+
+def _cost(chi2, delta2, obs_valid, use_huber: bool):
+    c = robust.huber_cost(chi2, delta2) if use_huber else chi2
+    return jnp.sum(jnp.where(obs_valid, c, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "iters", "use_huber"))
+def bundle_adjust(
+    cam: cameras.Camera,
+    prob: BAProblem,
+    iters: int = 10,
+    use_huber: bool = True,
+):
+    """LM loop. Returns (cam_R, cam_t, points, obs_inlier_mask, final_cost).
+
+    The iteration count is a static cap like the reference's
+    optimizer.optimize(10) calls; early-exit-on-abort (mbAbortBA) is the
+    host's job — it simply doesn't dispatch the next call."""
+    K = prob.cam_R.shape[0]
+    R, t, p = prob.cam_R, prob.cam_t, prob.p
+
+    def body(_, carry):
+        R, t, p, lam = carry
+        r, Jc, Jp, w, chi2, row_mask, delta2 = _obs_terms(cam, prob, R, t, p, use_huber)
+        cost0 = _cost(chi2, delta2, prob.obs_valid, use_huber)
+        H_pp, b_p, H_cc, b_c, W = _assemble(prob, r, Jc, Jp, w, row_mask, K)
+        dxc, dp = _schur_solve(prob, H_pp, b_p, H_cc, b_c, W, lam, K)
+        dR, dt = lie.se3_exp(dxc)
+        R_new, t_new = lie.se3_mul(dR, dt, R, t)
+        p_new = p + dp
+        _, _, _, _, chi2_new, _, _ = _obs_terms(cam, prob, R_new, t_new, p_new, use_huber)
+        cost1 = _cost(chi2_new, delta2, prob.obs_valid, use_huber)
+        better = cost1 < cost0
+        R = jnp.where(better, R_new, R)
+        t = jnp.where(better, t_new, t)
+        p = jnp.where(better, p_new, p)
+        lam = jnp.where(better, lam * 0.5, lam * 5.0)
+        return R, t, p, lam
+
+    R, t, p, _ = jax.lax.fori_loop(0, iters, body, (R, t, p, jnp.array(1e-4, R.dtype)))
+
+    # final chi2-based observation classification (LocalBA's post-pass that
+    # erases outlier observations, Optimizer.cc:2100-2160)
+    _, _, _, _, chi2, _, delta2 = _obs_terms(cam, prob, R, t, p, use_huber=False)
+    inlier = prob.obs_valid & (chi2 <= delta2)
+    cost = _cost(chi2, delta2, prob.obs_valid, False)
+    return R, t, p, inlier, cost
