@@ -1,0 +1,345 @@
+"""Map data model: fixed-capacity structure-of-arrays store.
+
+Replaces the reference's pointer-graph map (KeyFrame/MapPoint objects with
+per-object mutexes, src/KeyFrame.cc, src/MapPoint.cc, src/Map.cc) with flat
+numpy SoA pools owned by a single host writer (SURVEY.md §2.3 P4: versioned
+snapshots instead of locks). Device programs receive compact views (local
+point blocks, BA windows) and return updates; all bookkeeping lives here.
+
+Capacities are fixed at construction; `alive` masks replace deletion
+(SetBadFlag). The observation table mp_obs (M, OBS_CAP) is the single source
+of truth for point<->keyframe incidence; covisibility weights are derived
+from it on demand (KeyFrame::UpdateConnections computes the same counts from
+MapPoint::GetObservations, KeyFrame.h:222).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MapConfig:
+    max_kf: int = 512
+    max_mp: int = 40000
+    n_feat: int = 1024
+    obs_cap: int = 16          # max keyframes observing one point
+    scale_factor: float = 1.2
+    n_levels: int = 8
+
+
+class MapState:
+    """One Atlas worth of SLAM state. `map_id` partitions sub-maps; the active
+    map is selected by id (Atlas semantics, src/Atlas.cc)."""
+
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        K, M, N, D = cfg.max_kf, cfg.max_mp, cfg.n_feat, cfg.obs_cap
+
+        # --- keyframes ---
+        self.kf_R = np.zeros((K, 3, 3), np.float32)     # world->cam
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_vel = np.zeros((K, 3), np.float32)      # body velocity (world)
+        self.kf_bias = np.zeros((K, 6), np.float32)     # [bg, ba]
+        self.kf_time = np.zeros((K,), np.float64)
+        self.kf_valid = np.zeros((K,), bool)
+        self.kf_map_id = np.full((K,), -1, np.int32)
+        self.kf_parent = np.full((K,), -1, np.int32)    # spanning tree
+        self.kf_prev = np.full((K,), -1, np.int32)      # temporal chain (IMU)
+        self.kf_next = np.full((K,), -1, np.int32)
+
+        # per-KF features (copied from the Frame at insertion)
+        self.kf_feat_xy = np.zeros((K, N, 2), np.float32)
+        self.kf_feat_level = np.zeros((K, N), np.int32)
+        self.kf_feat_angle = np.zeros((K, N), np.float32)
+        self.kf_feat_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_feat_valid = np.zeros((K, N), bool)
+        self.kf_feat_ur = np.full((K, N), -1.0, np.float32)
+        self.kf_feat_depth = np.full((K, N), -1.0, np.float32)
+        self.kf_feat_mp = np.full((K, N), -1, np.int32)  # feature -> map point
+
+        # --- map points ---
+        self.mp_pos = np.zeros((M, 3), np.float32)
+        self.mp_desc = np.zeros((M, 8), np.uint32)
+        self.mp_normal = np.zeros((M, 3), np.float32)
+        self.mp_min_dist = np.zeros((M,), np.float32)
+        self.mp_max_dist = np.zeros((M,), np.float32)
+        self.mp_valid = np.zeros((M,), bool)
+        self.mp_map_id = np.full((M,), -1, np.int32)
+        self.mp_first_kf = np.full((M,), -1, np.int32)
+        self.mp_n_obs = np.zeros((M,), np.int32)
+        self.mp_found = np.zeros((M,), np.float32)      # found/visible stats
+        self.mp_visible = np.zeros((M,), np.float32)
+        self.mp_obs_kf = np.full((M, D), -1, np.int32)
+        self.mp_obs_idx = np.full((M, D), -1, np.int32)
+
+        self.n_kf = 0            # next keyframe slot (monotonic)
+        self.n_mp = 0            # high-water mark for map points
+        self._mp_free: list[int] = []
+        self.active_map = 0
+        self.n_maps = 1
+        self.version = 0         # bumped on every structural mutation
+        # per-map inertial flags (Map::IsInertial / IniertialBA1/2)
+        self.map_imu_init: dict[int, bool] = {0: False}
+        self.map_viba1: dict[int, bool] = {0: False}
+        self.map_viba2: dict[int, bool] = {0: False}
+
+    # ------------------------------------------------------------------ kfs
+    def add_keyframe(self, R, t, feats, timestamp, vel=None, bias=None,
+                     parent=-1, prev=-1) -> int:
+        """feats: dict-like with numpy arrays xy, level, angle, desc, valid,
+        u_right, depth (Frame features)."""
+        k = self.n_kf
+        if k >= self.cfg.max_kf:
+            raise RuntimeError("keyframe pool exhausted")
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+        if vel is not None:
+            self.kf_vel[k] = vel
+        if bias is not None:
+            self.kf_bias[k] = bias
+        self.kf_time[k] = timestamp
+        self.kf_valid[k] = True
+        self.kf_map_id[k] = self.active_map
+        self.kf_parent[k] = parent
+        self.kf_prev[k] = prev
+        if prev >= 0:
+            self.kf_next[prev] = k
+        n = feats["xy"].shape[0]
+        self.kf_feat_xy[k, :n] = feats["xy"]
+        self.kf_feat_level[k, :n] = feats["level"]
+        self.kf_feat_angle[k, :n] = feats["angle"]
+        self.kf_feat_desc[k, :n] = feats["desc"]
+        self.kf_feat_valid[k, :n] = feats["valid"]
+        self.kf_feat_ur[k, :n] = feats["u_right"]
+        self.kf_feat_depth[k, :n] = feats["depth"]
+        self.n_kf = k + 1
+        self.version += 1
+        return k
+
+    def remove_keyframe(self, kf: int):
+        """SetBadFlag for keyframes (KeyFrame.cc): drop its observations and
+        reconnect the temporal chain."""
+        for slot in np.nonzero(self.kf_feat_mp[kf] >= 0)[0]:
+            self.remove_observation(int(self.kf_feat_mp[kf, slot]), kf)
+        self.kf_feat_mp[kf] = -1
+        self.kf_valid[kf] = False
+        p, nx = self.kf_prev[kf], self.kf_next[kf]
+        if p >= 0:
+            self.kf_next[p] = nx
+        if nx >= 0:
+            self.kf_prev[nx] = p
+        # re-parent children
+        self.kf_parent[self.kf_parent == kf] = self.kf_parent[kf]
+        self.version += 1
+
+    # ------------------------------------------------------------------ mps
+    def add_map_points(self, pos, desc, first_kf, feat_idx) -> np.ndarray:
+        """Batch-allocate points; associates (first_kf, feat_idx[i]) as the
+        first observation. Returns allocated ids (-1 where pool full)."""
+        n = pos.shape[0]
+        ids = np.full((n,), -1, np.int64)
+        for i in range(n):
+            if self._mp_free:
+                m = self._mp_free.pop()
+            elif self.n_mp < self.cfg.max_mp:
+                m = self.n_mp
+                self.n_mp += 1
+            else:
+                break
+            ids[i] = m
+        ok = ids >= 0
+        idx = ids[ok]
+        self.mp_pos[idx] = pos[ok]
+        self.mp_desc[idx] = desc[ok]
+        self.mp_valid[idx] = True
+        self.mp_map_id[idx] = self.active_map
+        self.mp_first_kf[idx] = first_kf
+        self.mp_n_obs[idx] = 0
+        self.mp_found[idx] = 1.0
+        self.mp_visible[idx] = 1.0
+        self.mp_obs_kf[idx] = -1
+        self.mp_obs_idx[idx] = -1
+        for i in np.nonzero(ok)[0]:
+            self.add_observation(int(ids[i]), int(first_kf), int(feat_idx[i]))
+        self.version += 1
+        return ids
+
+    def add_observation(self, mp: int, kf: int, feat_idx: int) -> bool:
+        slots = self.mp_obs_kf[mp]
+        if kf in slots:
+            return True
+        free = np.nonzero(slots < 0)[0]
+        if len(free) == 0:
+            return False
+        s = free[0]
+        self.mp_obs_kf[mp, s] = kf
+        self.mp_obs_idx[mp, s] = feat_idx
+        self.mp_n_obs[mp] += 1
+        self.kf_feat_mp[kf, feat_idx] = mp
+        return True
+
+    def remove_observation(self, mp: int, kf: int):
+        slots = np.nonzero(self.mp_obs_kf[mp] == kf)[0]
+        for s in slots:
+            fi = self.mp_obs_idx[mp, s]
+            if fi >= 0 and self.kf_feat_mp[kf, fi] == mp:
+                self.kf_feat_mp[kf, fi] = -1
+            self.mp_obs_kf[mp, s] = -1
+            self.mp_obs_idx[mp, s] = -1
+            self.mp_n_obs[mp] -= 1
+        if self.mp_n_obs[mp] <= (1 if self.kf_feat_ur[kf, 0] < 0 else 1):
+            pass  # culling decisions live in LocalMapping
+
+    def remove_point(self, mp: int):
+        for s in range(self.cfg.obs_cap):
+            kf = self.mp_obs_kf[mp, s]
+            if kf >= 0:
+                fi = self.mp_obs_idx[mp, s]
+                if fi >= 0 and self.kf_feat_mp[kf, fi] == mp:
+                    self.kf_feat_mp[kf, fi] = -1
+        self.mp_obs_kf[mp] = -1
+        self.mp_obs_idx[mp] = -1
+        self.mp_n_obs[mp] = 0
+        self.mp_valid[mp] = False
+        self.mp_map_id[mp] = -1
+        self._mp_free.append(mp)
+        self.version += 1
+
+    def replace_point(self, old: int, new: int):
+        """MapPoint::Replace — move observations of `old` into `new`."""
+        for s in range(self.cfg.obs_cap):
+            kf = self.mp_obs_kf[old, s]
+            if kf < 0:
+                continue
+            fi = int(self.mp_obs_idx[old, s])
+            if int(self.kf_feat_mp[kf, fi]) == old:
+                self.kf_feat_mp[kf, fi] = -1
+            if not (kf in self.mp_obs_kf[new]):
+                self.add_observation(new, int(kf), fi)
+        self.mp_found[new] += self.mp_found[old]
+        self.mp_visible[new] += self.mp_visible[old]
+        self.mp_obs_kf[old] = -1
+        self.mp_obs_idx[old] = -1
+        self.mp_n_obs[old] = 0
+        self.mp_valid[old] = False
+        self._mp_free.append(old)
+        self.version += 1
+
+    # --------------------------------------------------------- derived views
+    def kf_ids(self, map_id: Optional[int] = None) -> np.ndarray:
+        mid = self.active_map if map_id is None else map_id
+        return np.nonzero(self.kf_valid & (self.kf_map_id == mid))[0]
+
+    def mp_ids(self, map_id: Optional[int] = None) -> np.ndarray:
+        mid = self.active_map if map_id is None else map_id
+        return np.nonzero(self.mp_valid & (self.mp_map_id == mid))[0]
+
+    def covisibility(self, kf: int) -> dict[int, int]:
+        """weight(kf, other) = #shared map points (UpdateConnections)."""
+        mps = self.kf_feat_mp[kf]
+        mps = mps[mps >= 0]
+        counts: dict[int, int] = {}
+        obs = self.mp_obs_kf[mps]  # (n, D)
+        for other in obs.reshape(-1):
+            if other >= 0 and other != kf:
+                counts[int(other)] = counts.get(int(other), 0) + 1
+        return counts
+
+    def covisible_kfs(self, kf: int, k: int = 10, min_weight: int = 15) -> list[int]:
+        counts = self.covisibility(kf)
+        ordered = sorted(counts.items(), key=lambda kv: -kv[1])
+        out = [c for c, w in ordered if w >= min_weight][:k]
+        if not out and ordered:
+            out = [ordered[0][0]]  # keep best edge (KeyFrame.cc:499 fallback)
+        return out
+
+    def local_point_ids(self, kf_ids, cap: int) -> np.ndarray:
+        """Points observed by any of kf_ids (TrackLocalMap's local set)."""
+        mps = self.kf_feat_mp[np.asarray(kf_ids, np.int64)]
+        mps = np.unique(mps[mps >= 0])
+        mps = mps[self.mp_valid[mps]]
+        return mps[:cap]
+
+    def update_point_geometry(self, ids: np.ndarray):
+        """Recompute normal + scale-invariance distance band + distinctive
+        descriptor (MapPoint::UpdateNormalAndDepth :146, ComputeDistinctive-
+        Descriptors :142) for the given points — vectorized numpy."""
+        ids = np.asarray(ids, np.int64)
+        if len(ids) == 0:
+            return
+        cfg = self.cfg
+        for m in ids:
+            obs_kf = self.mp_obs_kf[m]
+            mask = obs_kf >= 0
+            if not mask.any():
+                continue
+            kfs = obs_kf[mask]
+            idxs = self.mp_obs_idx[m][mask]
+            # normal: mean of unit vectors from camera centers
+            centers = -np.einsum("kji,kj->ki", self.kf_R[kfs], self.kf_t[kfs])
+            d = self.mp_pos[m][None] - centers
+            n = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+            self.mp_normal[m] = n.mean(0) / max(np.linalg.norm(n.mean(0)), 1e-9)
+            # reference-KF distance band
+            ref = kfs[0]
+            ref_i = idxs[0]
+            dist = np.linalg.norm(d[0])
+            level = self.kf_feat_level[ref, ref_i]
+            sf = cfg.scale_factor
+            self.mp_max_dist[m] = dist * (sf ** level)
+            self.mp_min_dist[m] = self.mp_max_dist[m] / (sf ** (cfg.n_levels - 1))
+            # distinctive descriptor: min median Hamming to the others
+            descs = self.kf_feat_desc[kfs, idxs]  # (n,8) uint32
+            if len(descs) == 1:
+                self.mp_desc[m] = descs[0]
+            else:
+                bits = np.unpackbits(descs.view(np.uint8), axis=1)
+                dmat = (bits[:, None, :] != bits[None, :, :]).sum(-1)
+                med = np.median(dmat, axis=1)
+                self.mp_desc[m] = descs[int(np.argmin(med))]
+
+    def predict_scale_level(self, dist, map_ids) -> np.ndarray:
+        """Octave prediction from viewing distance (MapPoint::PredictScale)."""
+        cfg = self.cfg
+        ratio = self.mp_max_dist[map_ids] / np.maximum(dist, 1e-9)
+        lvl = np.ceil(np.log(np.maximum(ratio, 1e-9)) / np.log(cfg.scale_factor))
+        return np.clip(lvl, 0, cfg.n_levels - 1).astype(np.int32)
+
+    # ----------------------------------------------------------------- atlas
+    def create_new_map(self) -> int:
+        """CreateMapInAtlas (Tracking.cc:3174): start a fresh sub-map; old one
+        is kept for later merging."""
+        self.active_map = self.n_maps
+        self.n_maps += 1
+        self.map_imu_init[self.active_map] = False
+        self.map_viba1[self.active_map] = False
+        self.map_viba2[self.active_map] = False
+        self.version += 1
+        return self.active_map
+
+    def apply_transform(self, map_id: int, s: float, R: np.ndarray, t: np.ndarray,
+                        rescale_vel: bool = True):
+        """Map::ApplyScaledRotation — gravity-align and rescale a whole map:
+        points p' = s R p + t; poses Tcw' so that camera centers transform the
+        same way; velocities v' = s R v."""
+        kfs = self.kf_ids(map_id)
+        mps = self.mp_ids(map_id)
+        self.mp_pos[mps] = s * (self.mp_pos[mps] @ R.T) + t
+        for k in kfs:
+            Rcw, tcw = self.kf_R[k], self.kf_t[k]
+            # x_c = Rcw x_w + tcw ; new world x_w' = s R x_w + t =>
+            # x_w = R^T (x_w' - t)/s => Rcw' = Rcw R^T, tcw' = tcw - Rcw' t/s...
+            # keep camera centers consistent under scaling:
+            # center c = -Rcw^T tcw ; c' = s R c + t ; Rcw' = Rcw R^T
+            c = -Rcw.T @ tcw
+            c2 = s * (R @ c) + t
+            Rcw2 = Rcw @ R.T
+            self.kf_R[k] = Rcw2
+            self.kf_t[k] = -Rcw2 @ c2
+            if rescale_vel:
+                self.kf_vel[k] = s * (R @ self.kf_vel[k])
+        self.version += 1

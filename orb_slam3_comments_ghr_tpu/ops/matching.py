@@ -108,10 +108,14 @@ def resolve_duplicates(match_idx: jnp.ndarray, dist: jnp.ndarray, valid: jnp.nda
     assignments per keypoint; here: scatter-min keyed by train index, winner
     takes the slot)."""
     n = match_idx.shape[0]
-    INF = BIG
-    # key = dist * n + row  (unique per row) so argmin is deterministic
-    key = jnp.where(valid, dist * n + jnp.arange(n, dtype=jnp.int32), INF * n)
-    best_key = jnp.full((m,), INF * n, jnp.int32).at[match_idx].min(key)
+    SENTINEL = jnp.int32(2**31 - 1)
+    # key = dist * n + row (unique per row) so argmin is deterministic; valid
+    # distances are <= 256 so the key never overflows int32. Invalid rows get
+    # the sentinel (NOT dist*n, which overflows for large pools).
+    key = jnp.where(
+        valid, jnp.minimum(dist, 256) * n + jnp.arange(n, dtype=jnp.int32), SENTINEL
+    )
+    best_key = jnp.full((m,), SENTINEL, jnp.int32).at[match_idx].min(key)
     winner = key == best_key[match_idx]
     return valid & winner
 

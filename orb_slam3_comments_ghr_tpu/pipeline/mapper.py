@@ -1,0 +1,299 @@
+"""Local mapping: per-keyframe map building.
+
+Host orchestration of the LocalMapping thread's work (reference:
+src/LocalMapping.cc Run() :92): point culling, triangulation of new points
+against covisible neighbors, duplicate fusion, windowed local BA, keyframe
+culling. Each step's heavy compute is a jitted program from
+pipeline.programs / optim.ba; this file owns the bookkeeping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..map.state import MapState
+from ..ops import cameras
+from ..optim import ba
+from ..utils.config import SlamConfig
+from . import programs
+
+
+def _pad_pow2(n: int, lo: int, hi: int) -> int:
+    """Round up to a power-of-two bucket to bound jit cache size."""
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return b
+
+
+class LocalMapper:
+    def __init__(self, cam: cameras.Camera, cfg: SlamConfig, map_state: MapState):
+        self.cam = cam
+        self.cfg = cfg
+        self.map = map_state
+        self.recent_mps: list[tuple[int, int]] = []  # (mp_id, birth_kf)
+
+    # ------------------------------------------------------------------ main
+    def process_keyframe(self, kf: int):
+        self.cull_map_points(kf)
+        self.create_new_points(kf)
+        self.fuse_neighbors(kf)
+        if len(self.map.kf_ids()) > 2:
+            self.local_ba(kf)
+        self.cull_keyframes(kf)
+
+    # ------------------------------------------------------------- cull MPs
+    def cull_map_points(self, current_kf: int):
+        """MapPointCulling (LocalMapping.cc:471): kill low found-ratio or
+        under-observed young points; graduate survivors after 3 KFs."""
+        m = self.map
+        keep = []
+        for mp, birth in self.recent_mps:
+            if not m.mp_valid[mp]:
+                continue
+            age = current_kf - birth
+            ratio = m.mp_found[mp] / max(m.mp_visible[mp], 1.0)
+            if ratio < self.cfg.mp_cull_found_ratio:
+                m.remove_point(mp)
+            elif age >= 2 and m.mp_n_obs[mp] <= 2:
+                m.remove_point(mp)
+            elif age >= 3:
+                continue  # graduated
+            else:
+                keep.append((mp, birth))
+        self.recent_mps = keep
+
+    # ------------------------------------------------------ new points (tri)
+    def create_new_points(self, kf: int):
+        """CreateNewMapPoints (LocalMapping.cc:526): for each covisible
+        neighbor, epipolar-match unassociated features and triangulate."""
+        m = self.map
+        cfg = self.cfg
+        neighbors = m.covisible_kfs(kf, k=cfg.triangulation_neighbors, min_weight=5)
+        if not neighbors:
+            return
+        desc1 = jnp.asarray(m.kf_feat_desc[kf])
+        xy1 = jnp.asarray(m.kf_feat_xy[kf])
+        level1 = jnp.asarray(m.kf_feat_level[kf])
+        R1, t1 = m.kf_R[kf], m.kf_t[kf]
+        c1 = -R1.T @ t1
+
+        for nb in neighbors:
+            # baseline gate (mono: baseline/medianDepth > 0.01)
+            R2, t2 = m.kf_R[nb], m.kf_t[nb]
+            c2 = -R2.T @ t2
+            baseline = np.linalg.norm(c1 - c2)
+            mids = m.kf_feat_mp[nb]
+            mp_ids = mids[mids >= 0]
+            if len(mp_ids) == 0:
+                continue
+            depths = (m.mp_pos[mp_ids] @ R2.T + t2)[:, 2]
+            med_depth = float(np.median(depths)) if len(depths) else 1.0
+            if baseline / max(med_depth, 1e-6) < 0.01:
+                continue
+
+            free1 = jnp.asarray(m.kf_feat_valid[kf] & (m.kf_feat_mp[kf] < 0))
+            free2 = jnp.asarray(m.kf_feat_valid[nb] & (m.kf_feat_mp[nb] < 0))
+            # relative pose: x_kf = R12 x_nb + t12 with R12 = R1 R2^T
+            R12 = R1 @ R2.T
+            t12 = t1 - R12 @ t2
+            idx, ok = programs.epipolar_match(
+                self.cam,
+                desc1, xy1, level1, free1,
+                jnp.asarray(m.kf_feat_desc[nb]), jnp.asarray(m.kf_feat_xy[nb]),
+                jnp.asarray(m.kf_feat_level[nb]), free2,
+                jnp.asarray(R12), jnp.asarray(t12),
+            )
+            idx_np = np.asarray(idx)
+            ok_np = np.asarray(ok)
+            if not ok_np.any():
+                continue
+            X, good = programs.triangulate_matches(
+                self.cam,
+                jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2), jnp.asarray(t2),
+                xy1, jnp.asarray(m.kf_feat_xy[nb])[idx],
+                level1, jnp.asarray(m.kf_feat_level[nb])[idx],
+                ok,
+                jnp.asarray(m.kf_feat_ur[kf]), jnp.asarray(m.kf_feat_ur[nb])[idx],
+                scale=cfg.scale_factor,
+            )
+            good_np = np.asarray(good)
+            X_np = np.asarray(X)
+            gi = np.nonzero(good_np)[0]
+            if len(gi) == 0:
+                continue
+            ids = m.add_map_points(X_np[gi], m.kf_feat_desc[kf][gi], kf, gi)
+            for j, mp in enumerate(ids):
+                if mp >= 0:
+                    m.add_observation(int(mp), nb, int(idx_np[gi[j]]))
+                    self.recent_mps.append((int(mp), kf))
+            m.update_point_geometry(ids[ids >= 0])
+
+    # ----------------------------------------------------------------- fuse
+    def fuse_neighbors(self, kf: int):
+        """SearchInNeighbors (LocalMapping.cc:939): project current KF's
+        points into neighbors and fuse duplicates."""
+        m = self.map
+        neighbors = m.covisible_kfs(kf, k=self.cfg.triangulation_neighbors, min_weight=5)
+        mids = m.kf_feat_mp[kf]
+        ids = mids[mids >= 0]
+        if len(ids) == 0 or not neighbors:
+            return
+        cap = self.cfg.local_points_cap
+        ids = ids[:cap]
+        L = cap
+        lp = programs.LocalPoints(
+            pos=jnp.asarray(_pad_rows(m.mp_pos[ids], L)),
+            desc=jnp.asarray(_pad_rows(m.mp_desc[ids], L)),
+            normal=jnp.asarray(_pad_rows(m.mp_normal[ids], L)),
+            min_dist=jnp.asarray(_pad_rows(m.mp_min_dist[ids], L)),
+            max_dist=jnp.asarray(_pad_rows(m.mp_max_dist[ids], L)),
+            valid=jnp.asarray(_pad_rows(np.ones(len(ids), bool), L)),
+        )
+        for nb in neighbors:
+            fidx, ok, existing = programs.fuse_project(
+                self.cam,
+                jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]), lp,
+                jnp.asarray(m.kf_feat_xy[nb]), jnp.asarray(m.kf_feat_level[nb]),
+                jnp.asarray(m.kf_feat_desc[nb]), jnp.asarray(m.kf_feat_valid[nb]),
+                jnp.asarray(m.kf_feat_mp[nb]),
+                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+            )
+            fidx = np.asarray(fidx)
+            ok_np = np.asarray(ok)[: len(ids)]
+            ex = np.asarray(existing)[: len(ids)]
+            for j in np.nonzero(ok_np)[0]:
+                mp = int(ids[j])
+                if not m.mp_valid[mp]:
+                    continue
+                if ex[j] >= 0 and ex[j] != mp and m.mp_valid[ex[j]]:
+                    # duplicate: keep the one with more observations
+                    a, b = (mp, int(ex[j]))
+                    if m.mp_n_obs[a] >= m.mp_n_obs[b]:
+                        m.replace_point(b, a)
+                    else:
+                        m.replace_point(a, b)
+                elif ex[j] < 0:
+                    m.add_observation(mp, nb, int(fidx[j]))
+        m.update_point_geometry(ids)
+
+    # ------------------------------------------------------------- local BA
+    def local_ba(self, kf: int):
+        """LocalBundleAdjustment (Optimizer.cc:1758): optimize the covisible
+        window + its points; other observers enter as fixed cameras."""
+        m = self.map
+        cfg = self.cfg
+        opt_kfs = [kf] + m.covisible_kfs(kf, k=cfg.local_ba_kfs - 1, min_weight=5)
+        opt_set = set(opt_kfs)
+        pts = m.local_point_ids(opt_kfs, cfg.local_ba_points)
+        if len(pts) < 8:
+            return
+        # fixed observers
+        fixed = []
+        obs_kfs = np.unique(m.mp_obs_kf[pts])
+        for k in obs_kfs:
+            if k >= 0 and int(k) not in opt_set:
+                fixed.append(int(k))
+        fixed = fixed[: cfg.local_ba_fixed_cap]
+        # always gauge-fix: if no fixed observers, pin the oldest window KF
+        if not fixed:
+            fixed = [min(opt_kfs)]
+            opt_kfs = [k for k in opt_kfs if k != fixed[0]]
+        cam_ids = opt_kfs + fixed
+        cam_slot = {c: i for i, c in enumerate(cam_ids)}
+        K = _pad_pow2(len(cam_ids), 8, 64)
+        P = _pad_pow2(len(pts), 256, cfg.local_ba_points)
+        D = m.cfg.obs_cap
+
+        cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        cam_t = np.zeros((K, 3), np.float32)
+        cam_fixed = np.ones((K,), bool)
+        for c, i in cam_slot.items():
+            cam_R[i] = m.kf_R[c]
+            cam_t[i] = m.kf_t[c]
+            cam_fixed[i] = c in fixed or c not in opt_set
+        cam_fixed[: len(opt_kfs)] = False
+
+        p = np.zeros((P, 3), np.float32)
+        p_valid = np.zeros((P,), bool)
+        obs_cam = np.zeros((P, D), np.int32)
+        obs_uv = np.zeros((P, D, 2), np.float32)
+        obs_ur = np.full((P, D), -1.0, np.float32)
+        obs_level = np.zeros((P, D), np.int32)
+        obs_valid = np.zeros((P, D), bool)
+        p[: len(pts)] = m.mp_pos[pts]
+        p_valid[: len(pts)] = True
+        for j, mp in enumerate(pts):
+            for s in range(m.cfg.obs_cap):
+                c = m.mp_obs_kf[mp, s]
+                if c < 0 or int(c) not in cam_slot:
+                    continue
+                fi = m.mp_obs_idx[mp, s]
+                obs_cam[j, s] = cam_slot[int(c)]
+                obs_uv[j, s] = m.kf_feat_xy[c, fi]
+                obs_ur[j, s] = m.kf_feat_ur[c, fi]
+                obs_level[j, s] = m.kf_feat_level[c, fi]
+                obs_valid[j, s] = True
+
+        prob = ba.BAProblem(
+            cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+            cam_fixed=jnp.asarray(cam_fixed),
+            p=jnp.asarray(p), p_valid=jnp.asarray(p_valid),
+            obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
+            obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
+            obs_valid=jnp.asarray(obs_valid),
+        )
+        Rn, tn, pn, inlier, _ = ba.bundle_adjust(
+            self.cam, prob, iters=cfg.local_ba_iters
+        )
+        Rn, tn, pn = np.asarray(Rn), np.asarray(tn), np.asarray(pn)
+        inlier = np.asarray(inlier)
+        for c in opt_kfs:
+            i = cam_slot[c]
+            m.kf_R[c] = Rn[i]
+            m.kf_t[c] = tn[i]
+        m.mp_pos[pts] = pn[: len(pts)]
+        # erase outlier observations (Optimizer.cc:2100-2160 post-pass)
+        for j, mp in enumerate(pts):
+            for s in range(m.cfg.obs_cap):
+                c = m.mp_obs_kf[mp, s]
+                if c >= 0 and int(c) in cam_slot and obs_valid[j, s] and not inlier[j, s]:
+                    m.remove_observation(int(mp), int(c))
+        m.version += 1
+
+    # ------------------------------------------------------------- cull KFs
+    def cull_keyframes(self, kf: int):
+        """KeyFrameCulling (LocalMapping.cc:1197): a covisible KF is redundant
+        if >=90% of its points are seen by >=3 other KFs at same-or-finer
+        octave."""
+        m = self.map
+        for cand in m.covisible_kfs(kf, k=10, min_weight=5):
+            if cand == kf or not m.kf_valid[cand]:
+                continue
+            mids = m.kf_feat_mp[cand]
+            slots = np.nonzero(mids >= 0)[0]
+            if len(slots) < 20:
+                continue
+            redundant = 0
+            for fi in slots:
+                mp = mids[fi]
+                lvl = m.kf_feat_level[cand, fi]
+                n_better = 0
+                for s in range(m.cfg.obs_cap):
+                    okf = m.mp_obs_kf[mp, s]
+                    if okf < 0 or okf == cand:
+                        continue
+                    oi = m.mp_obs_idx[mp, s]
+                    if m.kf_feat_level[okf, oi] <= lvl + 1:
+                        n_better += 1
+                if n_better >= 3:
+                    redundant += 1
+            if redundant > self.cfg.kf_cull_redundancy * len(slots):
+                m.remove_keyframe(cand)
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros((n,) + a.shape[1:], a.dtype)
+    out[: len(a)] = a[:n]
+    return out

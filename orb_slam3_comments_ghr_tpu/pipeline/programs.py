@@ -1,0 +1,243 @@
+"""Jitted device programs composing the per-frame and per-keyframe pipelines.
+
+These are the TPU equivalents of the reference's hot call paths — each is ONE
+XLA program (SURVEY.md §7.1 'three pipelined device programs'):
+
+  track_against_points  : SearchLocalPoints + SearchByProjection +
+                          PoseOptimization fused (Tracking.cc:3571 TrackLocalMap
+                          / :3444 TrackWithMotionModel)
+  epipolar_match        : SearchForTriangulation (ORBmatcher.cc:1045)
+  triangulate_matches   : CreateNewMapPoints geometry checks
+                          (LocalMapping.cc:526-938)
+  fuse_project          : ORBmatcher::Fuse (ORBmatcher.cc:1330)
+
+Shapes are static per (L points, N features) bucket; the host state machine
+reads back only small scalars/indices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, cameras, matching, triangulate
+from ..optim import pose_opt, robust
+
+
+class LocalPoints(NamedTuple):
+    """Compact device view of candidate map points (padded to L)."""
+
+    pos: jnp.ndarray       # (L,3)
+    desc: jnp.ndarray      # (L,8) uint32
+    normal: jnp.ndarray    # (L,3)
+    min_dist: jnp.ndarray  # (L,)
+    max_dist: jnp.ndarray  # (L,)
+    valid: jnp.ndarray     # (L,)
+
+
+class TrackResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    match_feat: jnp.ndarray   # (L,) feature index per point, -1 if unmatched
+    inlier: jnp.ndarray       # (L,) bool — matched AND pose-opt inlier
+    visible: jnp.ndarray      # (L,) bool — passed frustum gate
+    n_inliers: jnp.ndarray
+
+
+def _frustum_gate(cam, R, t, pts: LocalPoints, n_levels: int, scale: float):
+    """isInFrustum (Frame.cc:676): image bounds, distance band, viewing angle;
+    returns (visible mask, predicted uv, predicted level, search radius)."""
+    pc = lie.se3_apply(R, t, pts.pos)
+    z = pc[..., 2]
+    uv = cameras.project(cam, pc)
+    center = -jnp.einsum("ji,j->i", R, t)
+    d = pts.pos - center
+    dist = jnp.linalg.norm(d, axis=-1)
+    in_band = (dist > 0.8 * pts.min_dist) & (dist < 1.2 * pts.max_dist)
+    view_cos = jnp.sum(d * pts.normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    visible = (
+        pts.valid
+        & (z > 0.1)
+        & cameras.in_image(cam, uv)
+        & in_band
+        & (view_cos > 0.5)
+    )
+    # predicted octave from distance (MapPoint::PredictScale)
+    ratio = pts.max_dist / jnp.maximum(dist, 1e-9)
+    level = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale))
+    level = jnp.clip(level, 0, n_levels - 1).astype(jnp.int32)
+    # RadiusByViewingCos (ORBmatcher.cc:245)
+    radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * (scale ** level.astype(jnp.float32))
+    return visible, uv, level, radius
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "n_levels", "scale", "th", "iters_per_round")
+)
+def track_against_points(
+    cam: cameras.Camera,
+    feats,                      # frontend.Features
+    pts: LocalPoints,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    th: float = 1.0,            # radius multiplier (ref th arg of SBP)
+    n_levels: int = 8,
+    scale: float = 1.2,
+    iters_per_round: int = 10,
+) -> TrackResult:
+    visible, uv_pred, level_pred, radius = _frustum_gate(
+        cam, R0, t0, pts, n_levels, scale
+    )
+    mask = matching.window_mask(
+        uv_pred,
+        level_pred,
+        feats.xy,
+        feats.level,
+        feats.valid,
+        radius * th,
+        level_lo=level_pred - 1,
+        level_hi=level_pred + 1,
+    )
+    mask = mask & visible[:, None]
+    idx, dist, ok = matching.search_by_window(
+        pts.desc, feats.desc, mask, th=matching.TH_HIGH, ratio=0.8
+    )
+    ok = matching.resolve_duplicates(idx, dist, ok, feats.xy.shape[0])
+
+    obs = pose_opt.PoseObs(
+        p_world=pts.pos,
+        uv=feats.xy[idx],
+        u_right=feats.u_right[idx],
+        level=feats.level[idx],
+        valid=ok,
+    )
+    R, t, inlier, n = pose_opt.optimize_pose(
+        cam, R0, t0, obs, iters_per_round=iters_per_round
+    )
+    match_feat = jnp.where(ok, idx, -1)
+    return TrackResult(
+        R=R, t=t, match_feat=match_feat, inlier=inlier & ok, visible=visible,
+        n_inliers=n,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def epipolar_match(
+    cam: cameras.Camera,
+    desc1, xy1, level1, free1,     # KF1 features (free = no map point attached)
+    desc2, xy2, level2, free2,     # KF2 features
+    R12, t12,                      # KF2->KF1 relative pose (x1 = R12 x2 + t12)
+):
+    """SearchForTriangulation: match unassociated features across two KFs with
+    an epipolar constraint (ORBmatcher.cc:1045). The reference walks shared
+    BoW nodes to limit candidates; here the dense mask is the epipolar band —
+    the same acceptance region, evaluated in one kernel."""
+    # Fundamental from relative pose: F = K^-T [t]x R K^-1 (GeometricTools
+    # ComputeF12). Lines for features of image 1 evaluated at image 2.
+    K = cam.K
+    Kinv = jnp.linalg.inv(K)
+    E = lie.hat(t12) @ R12
+    F = Kinv.T @ E @ Kinv  # x1^T F x2 = 0
+    oh1 = jnp.concatenate([xy1, jnp.ones_like(xy1[:, :1])], -1)
+    oh2 = jnp.concatenate([xy2, jnp.ones_like(xy2[:, :1])], -1)
+    lines2 = oh1 @ F          # (N1,3): line in image 2 for each feat of 1
+    num = jnp.einsum("mi,ni->mn", lines2, oh2)
+    den = jnp.maximum(lines2[:, 0:1] ** 2 + lines2[:, 1:2] ** 2, 1e-12)
+    d2 = num * num / den      # squared point-line distance, (N1,N2)
+    sigma2 = (1.2 ** level2.astype(jnp.float32)) ** 2
+    epi_ok = d2 < 3.84 * sigma2[None, :]
+    mask = epi_ok & free1[:, None] & free2[None, :]
+    idx, dist, ok = matching.search_by_window(
+        desc1, desc2, mask, th=matching.TH_LOW, ratio=0.6
+    )
+    ok = matching.resolve_duplicates(idx, dist, ok, desc2.shape[0])
+    return idx, ok
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale"))
+def triangulate_matches(
+    cam: cameras.Camera,
+    R1, t1, R2, t2,                     # world->cam poses
+    uv1, uv2, level1, level2, ok,       # matched pixel pairs
+    ur1, ur2,                           # stereo right-u (<0 if mono)
+    scale: float = 1.2,
+):
+    """Triangulate candidate pairs and run CreateNewMapPoints' acceptance
+    gates (LocalMapping.cc:640-930): parallax, cheirality, per-view chi2
+    (5.991 mono / 7.815 stereo), scale-consistency. Returns (points world,
+    good mask)."""
+    P1 = triangulate.projection_matrix(cam.K, R1, t1)
+    P2 = triangulate.projection_matrix(cam.K, R2, t2)
+    X = triangulate.triangulate(P1, P2, uv1, uv2)
+
+    def checks(Rk, tk, uvk, urk, lvlk):
+        pc = lie.se3_apply(Rk, tk, X)
+        z = pc[..., 2]
+        uv_hat = cameras.project(cam, pc)
+        sigma2 = scale ** (2.0 * lvlk.astype(jnp.float32))
+        e2 = jnp.sum((uvk - uv_hat) ** 2, axis=-1)
+        is_stereo = urk >= 0
+        ur_hat = cameras.stereo_right_u(cam, uv_hat[..., 0], jnp.maximum(z, 1e-6))
+        e2s = e2 + jnp.where(is_stereo, (urk - ur_hat) ** 2, 0.0)
+        th = jnp.where(is_stereo, 7.8, 5.991) * sigma2
+        return (z > 0) & (e2s < th), z
+
+    ok1, z1 = checks(R1, t1, uv1, ur1, level1)
+    ok2, z2 = checks(R2, t2, uv2, ur2, level2)
+
+    # parallax between rays
+    c1 = -jnp.einsum("ji,j->i", R1, t1)
+    c2 = -jnp.einsum("ji,j->i", R2, t2)
+    r1v = X - c1
+    r2v = X - c2
+    cosp = jnp.sum(r1v * r2v, -1) / jnp.maximum(
+        jnp.linalg.norm(r1v, axis=-1) * jnp.linalg.norm(r2v, axis=-1), 1e-12
+    )
+    # scale consistency (ratioDist vs ratioFactor = 1.5*scale)
+    d1 = jnp.linalg.norm(r1v, axis=-1)
+    d2n = jnp.linalg.norm(r2v, axis=-1)
+    ratio_dist = d2n / jnp.maximum(d1, 1e-9)
+    ratio_octave = scale ** (level1.astype(jnp.float32) - level2.astype(jnp.float32))
+    rf = 1.5 * scale
+    scale_ok = (ratio_dist * rf > ratio_octave) & (ratio_dist < ratio_octave * rf)
+
+    good = (
+        ok
+        & ok1
+        & ok2
+        & (cosp < 0.9998)
+        & scale_ok
+        & jnp.all(jnp.isfinite(X), axis=-1)
+    )
+    return X, good
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "n_levels", "scale"))
+def fuse_project(
+    cam: cameras.Camera,
+    R, t,
+    pts: LocalPoints,
+    feat_xy, feat_level, feat_desc, feat_valid, feat_mp,
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """ORBmatcher::Fuse (ORBmatcher.cc:1330): project points into a KF, find
+    the best feature within radius 3*scale^level; if that feature already has
+    a point, report a (point, existing) duplicate; else an (point, feat)
+    association. Decisions returned to the host which owns Replace()."""
+    visible, uv_pred, level_pred, _ = _frustum_gate(cam, R, t, pts, n_levels, scale)
+    radius = 3.0 * (scale ** level_pred.astype(jnp.float32))
+    mask = matching.window_mask(
+        uv_pred, level_pred, feat_xy, feat_level, feat_valid, radius,
+        level_lo=level_pred - 1, level_hi=level_pred + 1,
+    )
+    mask = mask & visible[:, None]
+    idx, dist, ok = matching.search_by_window(
+        pts.desc, feat_desc, mask, th=matching.TH_LOW, ratio=1.0
+    )
+    ok = matching.resolve_duplicates(idx, dist, ok, feat_xy.shape[0])
+    existing = feat_mp[idx]       # (L,) map point already on that feature
+    return idx, ok, existing

