@@ -1,0 +1,84 @@
+"""Benchmark: end-to-end monocular SLAM throughput on one chip.
+
+Runs the full pipeline (ORB extraction from rendered images -> tracking ->
+mapping/BA) on a synthetic sequence with ground truth, and reports steady-state
+tracked frames/s plus the Horn-aligned ATE. Baseline: the reference runs
+real-time at the 20 Hz camera rate on a desktop CPU (BASELINE.md); the
+north-star target is >= 3x that on one v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from orb_slam3_comments_ghr_tpu.ops import cameras
+    from orb_slam3_comments_ghr_tpu.system import SLAM
+    from orb_slam3_comments_ghr_tpu.utils import synthetic, evaluation
+    from orb_slam3_comments_ghr_tpu.utils.config import SlamConfig
+
+    cam = cameras.euroc_cam0()
+    cfg = SlamConfig(
+        n_features=1024,
+        local_points_cap=4096,
+        local_ba_points=2048,
+        max_frames_between_kf=10,
+        min_init_matches=60,
+    )
+    n_frames = 80
+    scene = synthetic.make_textured_scene(7)
+    poses = synthetic.circular_trajectory(n_frames)
+
+    # pre-render all images (host-side dataset, excluded from timing)
+    images = [
+        synthetic.render_image(scene, cam, R, t) for (R, t) in poses
+    ]
+
+    slam = SLAM(cam, cfg)
+    est = []
+    t_feature = 0.0
+    warmup_frames = 12
+    t_start = None
+    for i, img in enumerate(images):
+        if i == warmup_frames:
+            t_start = time.perf_counter()
+        pose = slam.track_monocular(jnp.asarray(img), i * 0.05)
+        if pose is not None:
+            est.append((i * 0.05, pose))
+    jax.block_until_ready(jnp.zeros(1))
+    wall = time.perf_counter() - t_start
+    fps = (n_frames - warmup_frames) / wall
+
+    gt = synthetic.gt_trajectory(poses)
+    ate = evaluation.ate_rmse(est, gt, with_scale=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "mono_slam_tracked_fps_1chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "extra": {
+                    "ate_m": round(float(ate), 4),
+                    "tracked_frames": len(est),
+                    "total_frames": n_frames,
+                    "keyframes": slam.n_keyframes(),
+                    "map_points": slam.n_map_points(),
+                    "platform": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

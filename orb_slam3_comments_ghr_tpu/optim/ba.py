@@ -132,59 +132,71 @@ def _assemble(prob: BAProblem, r, Jc, Jp, w, row_mask, K: int):
     return H_pp, b_p, H_cc, b_c, W
 
 
-def _schur_solve(prob: BAProblem, H_pp, b_p, H_cc, b_c, W, lam, K: int):
-    """Form the reduced camera system and solve; back-substitute landmarks."""
-    P, D = prob.obs_cam.shape
+def _point_blocks_inv(H_pp, p_valid, lam):
+    """Damped inverse of the landmark 3x3 blocks (local to a shard)."""
     dtype = H_pp.dtype
     eye3 = jnp.eye(3, dtype=dtype)
-    eye6 = jnp.eye(6, dtype=dtype)
-
-    # LM damping (multiplicative on diagonals, g2o-style)
     H_pp_d = H_pp + lam * jnp.eye(3, dtype=dtype) * jnp.maximum(
         jnp.diagonal(H_pp, axis1=-2, axis2=-1), 1e-6
     )[..., None, :] * eye3
-    # guard degenerate (unobserved/padded) points
-    H_pp_d = H_pp_d + (~prob.p_valid)[:, None, None] * eye3
-    Hpp_inv = jnp.linalg.inv(H_pp_d + 1e-8 * eye3)  # (P,3,3)
+    H_pp_d = H_pp_d + (~p_valid)[:, None, None] * eye3
+    return jnp.linalg.inv(H_pp_d + 1e-8 * eye3)
 
-    # Reduced RHS: b_c - sum_o W_o Hpp_inv b_p
+
+def _reduced_system(obs_cam, H_cc, b_c, W, Hpp_inv, b_p, K: int):
+    """Schur-reduced camera system pieces (S (K,K,6,6), rhs (K,6)). This is
+    the part a distributed BA psums across landmark shards (SURVEY.md §5.8):
+    every term is a sum over points/observations."""
+    P, D = obs_cam.shape
     WHb = jnp.einsum("pdij,pjk,pk->pdi", W, Hpp_inv, b_p)  # (P,D,6)
     rhs = b_c - jax.ops.segment_sum(
-        WHb.reshape(-1, 6), prob.obs_cam.reshape(-1), num_segments=K
+        WHb.reshape(-1, 6), obs_cam.reshape(-1), num_segments=K
     )
-
-    # Schur pairs: S[c_i, c_j] -= W_i Hpp_inv W_j^T for obs i,j of same point
     WG = jnp.einsum("pdij,pjk->pdik", W, Hpp_inv)          # (P,D,6,3)
     pair = jnp.einsum("paik,pbjk->pabij", WG, W)           # (P,D,D,6,6)
-    ci = jnp.broadcast_to(prob.obs_cam[:, :, None], (P, D, D))
-    cj = jnp.broadcast_to(prob.obs_cam[:, None, :], (P, D, D))
+    ci = jnp.broadcast_to(obs_cam[:, :, None], (P, D, D))
+    cj = jnp.broadcast_to(obs_cam[:, None, :], (P, D, D))
     pair_id = (ci * K + cj).reshape(-1)
     S_corr = jax.ops.segment_sum(
         pair.reshape(-1, 6, 6), pair_id, num_segments=K * K
     ).reshape(K, K, 6, 6)
-
     S = -S_corr
     S = S.at[jnp.arange(K), jnp.arange(K)].add(H_cc)
-    # damping + fixed-camera prior on the diagonal blocks
-    diag_scale = jnp.maximum(jnp.diagonal(H_cc, axis1=-2, axis2=-1), 1e-6)
-    damp = lam * diag_scale[..., None, :] * eye6
-    fixed = prob.cam_fixed[:, None, None] * FIXED_PRIOR * eye6
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(damp + fixed + 1e-6 * eye6)
+    return S, rhs
 
+
+def _solve_reduced(S, rhs, cam_fixed, H_cc_diag, lam, K: int):
+    """Dense scaled-Cholesky solve of the reduced camera system."""
+    dtype = S.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+    diag_scale = jnp.maximum(H_cc_diag, 1e-6)
+    damp = lam * diag_scale[..., None, :] * eye6
+    fixed = cam_fixed[:, None, None] * FIXED_PRIOR * eye6
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(damp + fixed + 1e-6 * eye6)
     S_dense = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
     rhs_dense = rhs.reshape(K * 6)
-    # Jacobi scaling for f32 conditioning
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(S_dense), 1e-12))
     S_scaled = S_dense / d[:, None] / d[None, :]
     L = jax.scipy.linalg.cho_factor(S_scaled)
     dxc = jax.scipy.linalg.cho_solve(L, rhs_dense / d) / d
     dxc = dxc.reshape(K, 6)
-    dxc = jnp.where(prob.cam_fixed[:, None], 0.0, dxc)
+    return jnp.where(cam_fixed[:, None], 0.0, dxc)
 
-    # Back-substitute landmarks: dp = Hpp_inv (b_p - sum_o W_o^T dxc_o)
-    Wtdx = jnp.einsum("pdij,pdi->pj", W, dxc[prob.obs_cam])  # (P,3)
+
+def _backsubstitute(obs_cam, W, Hpp_inv, b_p, p_valid, dxc):
+    """dp = Hpp_inv (b_p - sum_o W_o^T dxc_o) — local per landmark shard."""
+    Wtdx = jnp.einsum("pdij,pdi->pj", W, dxc[obs_cam])  # (P,3)
     dp = jnp.einsum("pij,pj->pi", Hpp_inv, b_p - Wtdx)
-    dp = jnp.where(prob.p_valid[:, None], dp, 0.0)
+    return jnp.where(p_valid[:, None], dp, 0.0)
+
+
+def _schur_solve(prob: BAProblem, H_pp, b_p, H_cc, b_c, W, lam, K: int):
+    """Form the reduced camera system and solve; back-substitute landmarks."""
+    Hpp_inv = _point_blocks_inv(H_pp, prob.p_valid, lam)
+    S, rhs = _reduced_system(prob.obs_cam, H_cc, b_c, W, Hpp_inv, b_p, K)
+    H_cc_diag = jnp.diagonal(H_cc, axis1=-2, axis2=-1)
+    dxc = _solve_reduced(S, rhs, prob.cam_fixed, H_cc_diag, lam, K)
+    dp = _backsubstitute(prob.obs_cam, W, Hpp_inv, b_p, prob.p_valid, dxc)
     return dxc, dp
 
 

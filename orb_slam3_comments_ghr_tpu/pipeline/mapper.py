@@ -28,10 +28,12 @@ def _pad_pow2(n: int, lo: int, hi: int) -> int:
 
 
 class LocalMapper:
-    def __init__(self, cam: cameras.Camera, cfg: SlamConfig, map_state: MapState):
+    def __init__(self, cam: cameras.Camera, cfg: SlamConfig, map_state: MapState,
+                 kfdb=None):
         self.cam = cam
         self.cfg = cfg
         self.map = map_state
+        self.kfdb = kfdb
         self.recent_mps: list[tuple[int, int]] = []  # (mp_id, birth_kf)
 
     # ------------------------------------------------------------------ main
@@ -291,6 +293,8 @@ class LocalMapper:
                     redundant += 1
             if redundant > self.cfg.kf_cull_redundancy * len(slots):
                 m.remove_keyframe(cand)
+                if self.kfdb is not None:
+                    self.kfdb.erase(cand)
 
 
 def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:

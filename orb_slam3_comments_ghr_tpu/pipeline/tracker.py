@@ -59,10 +59,12 @@ class FrameRecord:
 
 
 class Tracker:
-    def __init__(self, cam: cameras.Camera, cfg: SlamConfig, map_state: MapState):
+    def __init__(self, cam: cameras.Camera, cfg: SlamConfig, map_state: MapState,
+                 kfdb=None):
         self.cam = cam
         self.cfg = cfg
         self.map = map_state
+        self.kfdb = kfdb  # retrieval.database.KeyFrameDatabase (optional)
         self.state = NO_IMAGES_YET
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
@@ -89,12 +91,19 @@ class Tracker:
             self.state = NOT_INITIALIZED
 
         if self.state == NOT_INITIALIZED:
-            done = self._initialize_mono(feats, timestamp)
+            if self.cfg.is_mono:
+                done = self._initialize_mono(feats, timestamp)
+            else:
+                done = self._initialize_stereo(feats, timestamp)
             if done:
                 self.state = OK
             self.last_time = timestamp
             return self._current_pose() if done else None
 
+        if self.state == RECENTLY_LOST and self.kfdb is not None:
+            # visual relocalization ladder (Tracking.cc:4444)
+            if self._relocalize(feats):
+                self.state = OK
         ok = self._track_frame(feats, timestamp)
         if ok:
             self.state = OK
@@ -132,6 +141,68 @@ class Tracker:
             T_rw[:3, 3] = self.map.kf_t[ref]
         T_cr = T_cw @ np.linalg.inv(T_rw)
         self.records.append(FrameRecord(timestamp, ref, T_cr, lost))
+
+    def _register_kf(self, kf: int):
+        if self.kfdb is not None:
+            m = self.map
+            self.kfdb.add(kf, m.kf_feat_desc[kf], m.kf_feat_valid[kf])
+
+    def _initialize_stereo(self, feats: frontend.Features, timestamp: float) -> bool:
+        """StereoInitialization (Tracking.cc:2755): one frame with >500
+        keypoints seeds the map directly from depth."""
+        f = _np_feats(feats)
+        if int(f["valid"].sum()) <= 500:
+            return False
+        m = self.map
+        kf = m.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32), f, timestamp
+        )
+        self._spawn_depth_points(kf, f, max_points=10**9, depth_cap=None)
+        self._register_kf(kf)
+        self.last_kf = kf
+        self.last_R = m.kf_R[kf].copy()
+        self.last_t = m.kf_t[kf].copy()
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.pending_kf = kf
+        return True
+
+    def _spawn_depth_points(self, kf: int, f: dict, max_points: int, depth_cap):
+        """Unproject features with measured depth into new map points
+        (CreateNewKeyFrame stereo path, Tracking.cc:3985-4070: closest first,
+        stop after 100 unless still closer than ThDepth)."""
+        m = self.map
+        cam = self.cam
+        th_depth = cam.baseline * self.cfg.depth_th_factor
+        has_depth = (f["depth"] > 0) & f["valid"] & (m.kf_feat_mp[kf] < 0)
+        order = np.argsort(np.where(has_depth, f["depth"], np.inf))
+        created = 0
+        batch_idx = []
+        for fi in order:
+            if not has_depth[fi]:
+                break
+            d = f["depth"][fi]
+            if created >= 100 and d > th_depth:
+                break
+            if depth_cap is not None and d > depth_cap:
+                break
+            batch_idx.append(fi)
+            created += 1
+            if created >= max_points:
+                break
+        if not batch_idx:
+            return
+        batch_idx = np.asarray(batch_idx)
+        rays = np.asarray(
+            cameras.unproject(self.cam, jnp.asarray(f["xy"][batch_idx]))
+        )
+        pc = rays * f["depth"][batch_idx][:, None]
+        R, t = m.kf_R[kf], m.kf_t[kf]
+        pw = (pc - t) @ R  # R^T (pc - t)
+        ids = m.add_map_points(
+            pw.astype(np.float32), f["desc"][batch_idx], kf, batch_idx
+        )
+        m.update_point_geometry(ids[ids >= 0])
 
     def _initialize_mono(self, feats: frontend.Features, timestamp: float) -> bool:
         n_valid = int(np.asarray(feats.valid).sum())
@@ -202,6 +273,8 @@ class Tracker:
         m.kf_t[kf2] *= s
         # normals/distance bands must reflect the final (scaled) geometry
         m.update_point_geometry(mp_ids)
+        self._register_kf(kf1)
+        self._register_kf(kf2)
 
         self.last_kf = kf2
         self.last_R = m.kf_R[kf2].copy()
@@ -350,9 +423,63 @@ class Tracker:
         inl = np.asarray(res.inlier)[: len(ids)]
         for j in np.nonzero(inl & (match_feat >= 0))[0]:
             m.add_observation(int(ids[j]), kf, int(match_feat[j]))
+        if not self.cfg.is_mono:
+            # stereo/RGB-D: spawn close points from measured depth
+            self._spawn_depth_points(kf, f, max_points=10**9, depth_cap=None)
+        self._register_kf(kf)
         self.last_kf = kf
         self.frames_since_kf = 0
         self.pending_kf = kf
+
+    def _relocalize(self, feats: frontend.Features) -> bool:
+        """BoW candidates -> BoW-guided matching -> batched PnP RANSAC ->
+        pose LM; success iff enough inliers (Relocalization ladder,
+        Tracking.cc:4444-4666)."""
+        from ..optim import pnp
+
+        m = self.map
+        desc = np.asarray(feats.desc)
+        valid = np.asarray(feats.valid)
+        word, node = self.kfdb.voc.transform(desc, valid)
+        qbow = self.kfdb.voc.bow_vector(word)
+        cands = self.kfdb.detect_relocalization_candidates(qbow, m)
+        for kf in cands:
+            if not m.kf_valid[kf]:
+                continue
+            kf_node = self.kfdb.kf_node.get(kf)
+            if kf_node is None:
+                continue
+            # BoW-node-constrained matching to the KF's features that carry
+            # map points (SearchByBoW, ORBmatcher.cc:262)
+            has_mp = m.kf_feat_mp[kf] >= 0
+            mask = (
+                (node[:, None] == kf_node[None, :])
+                & (node[:, None] >= 0)
+                & has_mp[None, :]
+                & valid[:, None]
+            )
+            if mask.sum() < 15:
+                continue
+            idx, dist, ok = matching.search_by_window(
+                feats.desc, jnp.asarray(m.kf_feat_desc[kf]), jnp.asarray(mask),
+                th=matching.TH_LOW, ratio=0.75,
+            )
+            ok_np = np.asarray(ok)
+            if ok_np.sum() < 15:
+                continue
+            idx_np = np.asarray(idx)
+            mp = m.kf_feat_mp[kf, idx_np]
+            X = jnp.asarray(m.mp_pos[np.maximum(mp, 0)])
+            pv = jnp.asarray(ok_np & (mp >= 0) & m.mp_valid[np.maximum(mp, 0)])
+            key = jnp.asarray(self._rng.integers(0, 2**31, 2), jnp.uint32)
+            R, t, inl, n_inl = pnp.pnp_ransac(self.cam, X, feats.xy, pv, key)
+            if int(n_inl) >= 20:
+                self.last_R = np.asarray(R)
+                self.last_t = np.asarray(t)
+                self.velocity = None
+                self.last_kf = kf
+                return True
+        return False
 
     def _handle_lost(self):
         """Recovery ladder tail (Tracking.cc:2299-2322): young map => reset;

@@ -1,0 +1,96 @@
+"""Keyframe database: place-recognition queries over keyframe BoW vectors.
+
+Replaces KeyFrameDatabase (reference: src/KeyFrameDatabase.cc — inverted file
+mvInvertedFile[wordId], DetectNBestCandidates :669, DetectRelocalization-
+Candidates :920). With dense ~1k-word BoW vectors the inverted file is
+unnecessary: common-word counts and L1 scores are one masked matmul over the
+(n_kf, n_words) matrix — the covisibility-group accumulation logic is kept
+verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .vocabulary import Vocabulary, score_l1
+
+
+class KeyFrameDatabase:
+    def __init__(self, voc: Vocabulary, max_kf: int):
+        self.voc = voc
+        self.bow = np.zeros((max_kf, voc.n_words), np.float32)
+        self.word_mask = np.zeros((max_kf, voc.n_words), bool)
+        self.present = np.zeros(max_kf, bool)
+        # per-feature word/node ids for BoW-guided matching
+        self.kf_word: dict[int, np.ndarray] = {}
+        self.kf_node: dict[int, np.ndarray] = {}
+
+    def add(self, kf: int, descs: np.ndarray, valid: np.ndarray):
+        word, node = self.voc.transform(descs, valid)
+        v = self.voc.bow_vector(word)
+        self.bow[kf] = v
+        self.word_mask[kf] = v > 0
+        self.present[kf] = True
+        self.kf_word[kf] = word
+        self.kf_node[kf] = node
+        return word, node
+
+    def erase(self, kf: int):
+        self.present[kf] = False
+        self.bow[kf] = 0
+        self.word_mask[kf] = False
+
+    # ----------------------------------------------------------------- query
+    def _common_words(self, v_mask: np.ndarray) -> np.ndarray:
+        return (self.word_mask & v_mask[None, :]).sum(-1)
+
+    def detect_candidates(
+        self,
+        query_bow: np.ndarray,
+        exclude: set[int],
+        map_state,
+        n_best: int = 3,
+        min_score_cut: float = 0.8,
+    ) -> list[int]:
+        """DetectNBestCandidates: common-word count -> 0.8*max cutoff ->
+        accumulated covisibility-group score -> top-N group champions."""
+        v_mask = query_bow > 0
+        common = self._common_words(v_mask)
+        common[~self.present] = 0
+        for k in exclude:
+            if 0 <= k < len(common):
+                common[k] = 0
+        if common.max() == 0:
+            return []
+        th = max(min_score_cut * common.max(), 1)
+        cands = np.nonzero(common >= th)[0]
+        scores = score_l1(self.bow[cands], query_bow[None, :])
+
+        # accumulate over each candidate's 10 best covisible neighbors
+        acc = []
+        for c, s in zip(cands, scores):
+            group = [int(c)] + map_state.covisible_kfs(int(c), k=10, min_weight=5)
+            g_scores = [
+                float(score_l1(self.bow[g], query_bow))
+                for g in group
+                if self.present[g] and g not in exclude
+            ]
+            best_in_group = int(c)
+            acc.append((sum(g_scores), float(s), best_in_group))
+        acc.sort(key=lambda x: -x[0])
+        out = []
+        for _, _, kf in acc:
+            if kf not in out:
+                out.append(kf)
+            if len(out) >= n_best:
+                break
+        return out
+
+    def detect_relocalization_candidates(
+        self, query_bow: np.ndarray, map_state, n_best: int = 3
+    ) -> list[int]:
+        """DetectRelocalizationCandidates (:920): same shape, 0.75 final
+        score cut, no exclusion set."""
+        return self.detect_candidates(
+            query_bow, set(), map_state, n_best=n_best, min_score_cut=0.8
+        )

@@ -36,8 +36,14 @@ class SLAM:
             n_levels=self.cfg.n_levels,
         )
         self.map = MapState(mc)
-        self.tracker = Tracker(cam, self.cfg, self.map)
-        self.mapper = LocalMapper(cam, self.cfg, self.map)
+        import os
+        from .retrieval.vocabulary import Vocabulary
+        from .retrieval.database import KeyFrameDatabase
+        voc_path = os.path.join(os.path.dirname(__file__), "retrieval", "default_voc.npz")
+        self.voc = Vocabulary.load(voc_path) if os.path.exists(voc_path) else Vocabulary.random()
+        self.kfdb = KeyFrameDatabase(self.voc, self.cfg.max_kf)
+        self.tracker = Tracker(cam, self.cfg, self.map, kfdb=self.kfdb)
+        self.mapper = LocalMapper(cam, self.cfg, self.map, kfdb=self.kfdb)
 
     # --------------------------------------------------------------- per-frame
     def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
@@ -53,11 +59,49 @@ class SLAM:
         )
         return self.track_features(feats, timestamp)
 
+    def track_stereo(self, img_left, img_right, timestamp: float) -> Optional[np.ndarray]:
+        """Rectified stereo pair (System::TrackStereo, System.h:109)."""
+        from .frontend import stereo as stereo_mod
+
+        img_l = jnp.asarray(img_left)
+        img_r = jnp.asarray(img_right)
+        fl = frontend.extract(
+            img_l, n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
+            scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
+            min_th=self.cfg.min_th_fast,
+        )
+        fr = frontend.extract(
+            img_r, n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
+            scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
+            min_th=self.cfg.min_th_fast,
+        )
+        u_right, depth = stereo_mod.stereo_match(
+            self.cam, fl, fr, img_l.astype(jnp.float32), img_r.astype(jnp.float32),
+            scale=self.cfg.scale_factor,
+        )
+        fl = fl._replace(u_right=u_right, depth=depth)
+        return self.track_features(fl, timestamp)
+
+    def track_rgbd(self, img, depth_map, timestamp: float) -> Optional[np.ndarray]:
+        """RGB-D frame (System::TrackRGBD, System.h:114)."""
+        from .frontend import stereo as stereo_mod
+
+        f = frontend.extract(
+            jnp.asarray(img), n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+            ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+        )
+        u_right, depth = stereo_mod.depth_to_stereo(
+            self.cam, f, jnp.asarray(depth_map)
+        )
+        f = f._replace(u_right=u_right, depth=depth)
+        return self.track_features(f, timestamp)
+
     def track_features(self, feats: frontend.Features, timestamp: float):
         """Entry point when features are produced externally (tests, stereo
         pipelines, benchmarking without the extractor)."""
         pose = self.tracker.track(feats, timestamp)
-        if self.tracker.pending_kf is not None and self.tracker.pending_kf > 1:
+        if self.tracker.pending_kf is not None and self.n_keyframes() >= 2:
             self.mapper.process_keyframe(self.tracker.pending_kf)
             # tracking pose may have been refined by local BA of its KF
         return pose

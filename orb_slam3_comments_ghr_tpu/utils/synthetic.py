@@ -19,7 +19,7 @@ from ..ops import cameras, lie
 class World:
     points: np.ndarray       # (W,3)
     desc: np.ndarray         # (W,8) uint32 per-landmark descriptor
-    patches: np.ndarray      # (W,9,9) float32 texture patch (for rendering)
+    patches: np.ndarray      # (W,21,21) float32 texture patch (for rendering)
     priority: np.ndarray     # (W,) detection priority — a real detector
                              # re-finds the same strong corners every frame
 
@@ -29,7 +29,7 @@ def make_world(seed: int, n_points: int = 4000, extent=(20.0, 12.0, 8.0),
     rng = np.random.default_rng(seed)
     pts = (rng.random((n_points, 3)) - 0.5) * np.asarray(extent) + np.asarray(center)
     desc = rng.integers(0, 2**32, (n_points, 8), dtype=np.uint32)
-    patches = rng.random((n_points, 9, 9)).astype(np.float32) * 200.0 + 30.0
+    patches = rng.random((n_points, 21, 21)).astype(np.float32) * 200.0 + 30.0
     priority = rng.random(n_points).astype(np.float32)
     return World(points=pts.astype(np.float32), desc=desc, patches=patches,
                  priority=priority)
@@ -65,6 +65,7 @@ def render_features(
     noise_px: float = 0.4,
     desc_flip_bits: int = 6,
     seed: int = 0,
+    stereo: bool = False,
 ) -> Features:
     """Project world landmarks into the view and emit a Features pytree with
     per-landmark descriptors (a few bits flipped per observation) — the ideal
@@ -98,6 +99,12 @@ def render_features(
 
     valid = np.zeros((n_feat,), bool)
     valid[:n] = True
+    u_right = np.full((n_feat,), -1.0, np.float32)
+    depth = np.full((n_feat,), -1.0, np.float32)
+    if stereo and cam.bf > 0:
+        zs = pc[ids, 2].astype(np.float32)
+        depth[:n] = zs + rng.normal(0, 0.01, n)
+        u_right[:n] = xy[:n, 0] - cam.bf / np.maximum(depth[:n], 1e-6)
     return Features(
         xy=jnp.asarray(xy),
         level=jnp.asarray(level),
@@ -105,31 +112,84 @@ def render_features(
         response=jnp.where(jnp.asarray(valid), 1.0, -jnp.inf),
         desc=jnp.asarray(desc),
         valid=jnp.asarray(valid),
-        u_right=jnp.full((n_feat,), -1.0, jnp.float32),
-        depth=jnp.full((n_feat,), -1.0, jnp.float32),
+        u_right=jnp.asarray(u_right),
+        depth=jnp.asarray(depth),
     ), ids
 
 
+@dataclasses.dataclass
+class TexturedScene:
+    """Two fronto-parallel textured planes (near square patch over a far
+    backdrop) — an exactly-renderable world whose appearance is perfectly
+    view-consistent, so the real FAST/ORB front end sees repeatable corners
+    across frames (what stamped sprites cannot provide)."""
+
+    tex_far: np.ndarray     # (T,T) texture of the far plane
+    tex_near: np.ndarray
+    z_far: float
+    z_near: float
+    near_extent: float      # near plane covers |x|,|y| <= near_extent
+    scale: float            # texels per meter
+
+
+def make_textured_scene(seed: int, tex_size: int = 1024, z_far: float = 14.0,
+                        z_near: float = 8.0, near_extent: float = 3.0,
+                        span: float = 40.0) -> TexturedScene:
+    rng = np.random.default_rng(seed)
+
+    def multiscale(t):
+        img = np.zeros((t, t), np.float32)
+        amp = 1.0
+        for cell in (4, 8, 16, 32):
+            g = rng.random((t // cell, t // cell)).astype(np.float32)
+            img += amp * np.kron(g, np.ones((cell, cell), np.float32))
+            amp *= 0.6
+        img -= img.min()
+        return img / img.max() * 215.0 + 20.0
+
+    return TexturedScene(
+        tex_far=multiscale(tex_size),
+        tex_near=multiscale(tex_size),
+        z_far=z_far,
+        z_near=z_near,
+        near_extent=near_extent,
+        scale=tex_size / span,
+    )
+
+
 def render_image(
-    world: World, cam: cameras.Camera, R_cw: np.ndarray, t_cw: np.ndarray
+    scene: TexturedScene, cam: cameras.Camera, R_cw: np.ndarray, t_cw: np.ndarray
 ) -> np.ndarray:
-    """Rasterize the world as 9x9 texture patches at projected landmark
-    positions (nearest landmark wins) — enough structure for the real FAST/
-    ORB front end to latch onto."""
+    """Exact perspective render (per-pixel plane intersection + nearest-texel
+    sampling), vectorized numpy."""
     h, w = cam.height, cam.width
-    img = np.full((h, w), 40.0, np.float32)
-    pc = world.points @ R_cw.T + t_cw
-    z = pc[:, 2]
-    uv = np.asarray(cameras.project(cam, jnp.asarray(pc)))
-    order = np.argsort(-z)  # far first so near patches overwrite
-    for i in order:
-        if z[i] <= 0.3:
-            continue
-        u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))
-        if u < 5 or v < 5 or u >= w - 5 or v >= h - 5:
-            continue
-        img[v - 4 : v + 5, u - 4 : u + 5] = world.patches[i]
-    return img
+    u, v = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    rays_c = np.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, np.ones_like(u)], axis=-1
+    )
+    R_wc = R_cw.T
+    c = -R_wc @ t_cw
+    rays_w = rays_c @ R_wc.T   # (h,w,3)
+
+    def sample(tex, z_plane):
+        lam = (z_plane - c[2]) / rays_w[..., 2]
+        X = c[None, None, :] + lam[..., None] * rays_w
+        tx = (X[..., 0] * scene.scale + tex.shape[1] / 2)
+        ty = (X[..., 1] * scene.scale + tex.shape[0] / 2)
+        ti = np.clip(np.round(ty).astype(np.int64), 0, tex.shape[0] - 1)
+        tj = np.clip(np.round(tx).astype(np.int64), 0, tex.shape[1] - 1)
+        return tex[ti, tj], X, lam
+
+    img_far, _, lam_far = sample(scene.tex_far, scene.z_far)
+    img_near, X_near, lam_near = sample(scene.tex_near, scene.z_near)
+    near_hit = (
+        (np.abs(X_near[..., 0]) <= scene.near_extent)
+        & (np.abs(X_near[..., 1]) <= scene.near_extent)
+        & (lam_near > 0)
+    )
+    img = np.where(near_hit & (lam_far > 0), img_near, img_far)
+    img = np.where(lam_far > 0, img, 40.0)
+    return img.astype(np.float32)
 
 
 def gt_trajectory(poses) -> list:
