@@ -1,0 +1,259 @@
+"""Batched (single-program) ORB extraction over a padded pyramid.
+
+The naive extractor unrolls 8 pyramid levels into 8 copies of every kernel —
+XLA compiles ~8x the code and per-keypoint patch gathers dominate runtime.
+Here all levels are padded to the level-0 shape and stacked (L, H, W), so:
+
+  * FAST / NMS / blur run once with a leading batch axis;
+  * the intensity-centroid orientation becomes two 31x31 convolutions
+    (moment maps m10/m01), turning 1024 patch gathers into one conv + one
+    1024-element gather — conv work rides the MXU;
+  * descriptors sample all (keypoint, pattern-bit) pairs with a single flat
+    gather from the stacked blurred pyramid.
+
+Out-of-bounds padding is masked with per-level validity. Behavior parity with
+the per-level extractor (same FAST thresholds, selection, steering) — only
+the schedule differs. Reference: src/ORBextractor.cc:1557-1686.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import brief, fast, pyramid, select
+from .types import Features
+
+
+def _padded_pyramid(img, n_levels, scale):
+    """(L, H, W) stack, plus static per-level (h, w)."""
+    levels = pyramid.build_pyramid(img, n_levels, scale)
+    h, w = img.shape
+    stack = []
+    for lv in levels:
+        ph, pw = h - lv.shape[0], w - lv.shape[1]
+        stack.append(jnp.pad(lv, ((0, ph), (0, pw))))
+    shapes = [lv.shape for lv in levels]
+    return jnp.stack(stack), shapes
+
+
+def _bounds_mask(h, w, shapes, dtype=bool):
+    m = np.zeros((len(shapes), h, w), np.bool_)
+    for i, (hh, ww) in enumerate(shapes):
+        m[i, :hh, :ww] = True
+    return jnp.asarray(m)
+
+
+def _batched_select(resp, quotas, border, bucket=16):
+    """Per-level spatially-balanced top-quota selection on (L, H, W) response
+    maps; returns flattened (N,) arrays (N = sum(quotas)) of x, y, level,
+    response, valid."""
+    L, h, w = resp.shape
+    row = jnp.arange(h)[None, :, None]
+    col = jnp.arange(w)[None, None, :]
+    inb = (row >= border) & (row < h - border) & (col >= border) & (col < w - border)
+    resp = jnp.where(inb, resp, 0.0)
+
+    gh, gw = -(-h // bucket), -(-w // bucket)
+    rp = jnp.pad(resp, ((0, 0), (0, gh * bucket - h), (0, gw * bucket - w)))
+    tiles = rp.reshape(L, gh, bucket, gw, bucket).transpose(0, 1, 3, 2, 4).reshape(
+        L, gh * gw, bucket * bucket
+    )
+    best_val = tiles.max(-1)               # (L, G)
+    best_idx = tiles.argmax(-1)
+    ty = jnp.arange(gh * gw) // gw
+    tx = jnp.arange(gh * gw) % gw
+    y = ty[None] * bucket + best_idx // bucket   # (L, G)
+    x = tx[None] * bucket + best_idx % bucket
+
+    # coarse-champion priority (same construction as select.select_keypoints)
+    import math
+
+    kmax = max(quotas)
+    c = max(1, math.ceil(math.sqrt(gh * gw / max(kmax, 1))))
+    ch, cw = -(-gh // c), -(-gw // c)
+    vpad = jnp.pad(
+        best_val.reshape(L, gh, gw),
+        ((0, 0), (0, ch * c - gh), (0, cw * c - gw)),
+        constant_values=-jnp.inf,
+    ).reshape(L, ch, c, cw, c)
+    champ = vpad.max(axis=(2, 4), keepdims=True)
+    is_champ_t = (vpad >= champ) & (vpad > 0.0)
+    flat = is_champ_t.transpose(0, 1, 3, 2, 4).reshape(L, ch, cw, c * c)
+    first = jnp.argmax(flat, axis=-1)
+    only_first = jnp.zeros_like(flat)
+    li = jnp.arange(L)[:, None, None]
+    ci = jnp.arange(ch)[None, :, None]
+    cj = jnp.arange(cw)[None, None, :]
+    only_first = only_first.at[li, ci, cj, first].set(flat.max(-1))
+    is_champ = (
+        only_first.reshape(L, ch, cw, c, c)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(L, ch * c, cw * c)[:, :gh, :gw]
+        .reshape(L, gh * gw)
+    )
+    OFFSET = 1e12
+    priority = best_val + jnp.where(is_champ, OFFSET, 0.0)
+
+    k = min(kmax, gh * gw)
+    topp, topi = jax.lax.top_k(priority, k)      # (L, k)
+    topv = jnp.take_along_axis(best_val, topi, 1)
+    sel_x = jnp.take_along_axis(x, topi, 1)
+    sel_y = jnp.take_along_axis(y, topi, 1)
+    quota_arr = jnp.asarray(quotas)[:, None]
+    valid = (topv > 0.0) & (jnp.arange(k)[None, :] < quota_arr)
+
+    lvl = jnp.broadcast_to(jnp.arange(L)[:, None], (L, k))
+    return (
+        sel_x.reshape(-1), sel_y.reshape(-1), lvl.reshape(-1),
+        topv.reshape(-1), valid.reshape(-1),
+    )
+
+
+def _moment_kernels():
+    dy, dx = np.mgrid[-brief.HALF_PATCH : brief.HALF_PATCH + 1,
+                      -brief.HALF_PATCH : brief.HALF_PATCH + 1]
+    mask = (dx * dx + dy * dy) <= brief.HALF_PATCH * brief.HALF_PATCH
+    kx = (dx * mask).astype(np.float32)
+    ky = (dy * mask).astype(np.float32)
+    # lax.conv_general_dilated computes correlation (no kernel flip), which
+    # is exactly the moment sum over (dy, dx) offsets.
+    return jnp.asarray(kx), jnp.asarray(ky)
+
+
+def _ic_angle_maps(P):
+    """(L,H,W) -> (m10, m01) maps via 31x31 convolutions."""
+    kx, ky = _moment_kernels()
+    x = P[:, None]  # (L,1,H,W)
+    kern = jnp.stack([kx, ky])[:, None]  # (2,1,31,31)
+    out = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )  # (L,2,H,W)
+    return out[:, 0], out[:, 1]
+
+
+def _batched_blur(P):
+    k = pyramid._gauss_kernel_1d(7, 2.0)
+    x = jnp.pad(P, ((0, 0), (3, 3), (3, 3)), mode="edge")[:, None]
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, :, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return x[:, 0]
+
+
+def _batched_descriptors(blurred, xs, ys, lvls, angles, shapes):
+    """Flat-gather rBRIEF over the stacked blurred pyramid.
+
+    blurred: (L,H,W); xs/ys/lvls/angles: (N,). Sample coordinates are clipped
+    to each keypoint's level bounds."""
+    L, H, W = blurred.shape
+    hb = jnp.asarray([s[0] for s in shapes])[lvls]  # (N,)
+    wb = jnp.asarray([s[1] for s in shapes])[lvls]
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    px1 = brief.PATTERN[:, 0].astype(jnp.float32)
+    py1 = brief.PATTERN[:, 1].astype(jnp.float32)
+    px2 = brief.PATTERN[:, 2].astype(jnp.float32)
+    py2 = brief.PATTERN[:, 3].astype(jnp.float32)
+
+    flat = blurred.reshape(-1)
+    base = lvls * (H * W)
+
+    def sample(px, py):
+        rx = jnp.round(ca[:, None] * px[None] - sa[:, None] * py[None]).astype(jnp.int32)
+        ry = jnp.round(sa[:, None] * px[None] + ca[:, None] * py[None]).astype(jnp.int32)
+        gx = jnp.clip(xs[:, None] + rx, 0, wb[:, None] - 1)
+        gy = jnp.clip(ys[:, None] + ry, 0, hb[:, None] - 1)
+        return flat[base[:, None] + gy * W + gx]
+
+    v1 = sample(px1, py1)
+    v2 = sample(px2, py2)
+    bits = (v1 < v2).astype(jnp.uint32).reshape(-1, 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale", "ini_th", "min_th"),
+)
+def extract_batched(
+    img: jnp.ndarray,
+    n_features: int = 1024,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    ini_th: float = 20.0,
+    min_th: float = 7.0,
+) -> Features:
+    """Drop-in equivalent of extractor.extract, one fused program."""
+    if img.ndim != 2:
+        raise ValueError(
+            f"extract() wants a (H, W) grayscale image, got shape {img.shape}; "
+            "convert RGB with e.g. img.mean(-1) before calling"
+        )
+    if min(img.shape) < 31 * 2:
+        raise ValueError(
+            f"extract() needs images of at least 62px per side (patch 31 + "
+            f"borders); got {img.shape}"
+        )
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    P, shapes = _padded_pyramid(img, n_levels, scale)
+    usable = [i for i, (hh, ww) in enumerate(shapes) if min(hh, ww) >= 35]
+    quotas = select.level_quotas(n_features, n_levels, scale)
+    if len(usable) < n_levels:
+        dropped = sum(quotas[i] for i in range(n_levels) if i not in usable)
+        quotas = [q if i in usable else 0 for i, q in enumerate(quotas)]
+        quotas[usable[-1]] += dropped
+
+    bmask = _bounds_mask(h, w, shapes)
+    resp = fast.dual_threshold_response(P, ini_th, min_th)
+    # kill responses in the padded region AND within 19px of level borders
+    hb = jnp.asarray([s[0] for s in shapes])[:, None, None]
+    wb = jnp.asarray([s[1] for s in shapes])[:, None, None]
+    row = jnp.arange(h)[None, :, None]
+    col = jnp.arange(w)[None, None, :]
+    inb = (row >= 19) & (row < hb - 19) & (col >= 19) & (col < wb - 19)
+    resp = jnp.where(inb & bmask, resp, 0.0)
+
+    xs, ys, lvls, rs, valid = _batched_select(resp, quotas, border=0)
+
+    m10, m01 = _ic_angle_maps(P)
+    flat10 = m10.reshape(-1)
+    flat01 = m01.reshape(-1)
+    idx = lvls * (h * w) + ys * w + xs
+    angles = jnp.arctan2(flat01[idx], flat10[idx])
+
+    blurred = _batched_blur(P)
+    desc = _batched_descriptors(blurred, xs, ys, lvls, angles, shapes)
+
+    sfac = jnp.asarray([scale ** i for i in range(n_levels)])[lvls]
+    xy = jnp.stack([xs.astype(jnp.float32) * sfac, ys.astype(jnp.float32) * sfac], -1)
+
+    n = xs.shape[0]
+    feats = Features(
+        xy=xy,
+        level=lvls.astype(jnp.int32),
+        angle=angles,
+        response=jnp.where(valid, rs, -jnp.inf),
+        desc=desc,
+        valid=valid,
+        u_right=jnp.full((n,), -1.0, jnp.float32),
+        depth=jnp.full((n,), -1.0, jnp.float32),
+    )
+    # compact the valid entries into the first n_features slots: order by
+    # validity (stable top_k on priority), so downstream padding masks hold
+    pri = jnp.where(valid, 1e6 + rs, 0.0) - jnp.arange(n) * 1e-6
+    _, order = jax.lax.top_k(pri, n_features)
+
+    def take(a):
+        return a[order]
+
+    return jax.tree.map(take, feats)

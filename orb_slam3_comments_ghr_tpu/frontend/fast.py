@@ -33,9 +33,10 @@ _ARC_MASKS = tuple(
 
 
 def _ring_stack(img: jnp.ndarray) -> jnp.ndarray:
-    """(16, H, W) ring pixel values via rolls (border is masked later)."""
+    """(16, ..., H, W) ring pixel values via rolls (border is masked later).
+    Supports leading batch dims (batched pyramid extraction)."""
     return jnp.stack(
-        [jnp.roll(img, shift=(-dy, -dx), axis=(0, 1)) for dy, dx in RING], axis=0
+        [jnp.roll(img, shift=(-dy, -dx), axis=(-2, -1)) for dy, dx in RING], axis=0
     )
 
 
@@ -69,8 +70,9 @@ def fast_response(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 def nms3(resp: jnp.ndarray) -> jnp.ndarray:
     """3x3 non-max suppression; keeps strict local maxima (ties broken toward
     the top-left like OpenCV's scan order, via epsilon on shifted copies)."""
+    lead = (1,) * (resp.ndim - 2)
     neighborhood = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        resp, -jnp.inf, jax.lax.max, lead + (3, 3), (1,) * resp.ndim, "SAME"
     )
     return jnp.where((resp >= neighborhood) & (resp > 0.0), resp, 0.0)
 
@@ -87,12 +89,16 @@ def dual_threshold_response(
     strong = nms3(fast_response(img, ini_threshold))
     weak = nms3(fast_response(img, min_threshold))
 
-    h, w = img.shape
+    h, w = img.shape[-2:]
+    lead = img.shape[:-2]
     gh, gw = -(-h // cell), -(-w // cell)
     pad_h, pad_w = gh * cell - h, gw * cell - w
-    sp = jnp.pad(strong, ((0, pad_h), (0, pad_w)))
+    pad_spec = tuple((0, 0) for _ in lead) + ((0, pad_h), (0, pad_w))
+    sp = jnp.pad(strong, pad_spec)
     cell_has_strong = (
-        sp.reshape(gh, cell, gw, cell).max(axis=(1, 3)) > 0.0
-    )  # (gh, gw)
-    use_strong = jnp.repeat(jnp.repeat(cell_has_strong, cell, 0), cell, 1)[:h, :w]
+        sp.reshape(lead + (gh, cell, gw, cell)).max(axis=(-3, -1)) > 0.0
+    )  # (..., gh, gw)
+    use_strong = jnp.repeat(jnp.repeat(cell_has_strong, cell, -2), cell, -1)[
+        ..., :h, :w
+    ]
     return jnp.where(use_strong, strong, weak)

@@ -1,0 +1,346 @@
+"""Loop closing and map merging.
+
+Host orchestration of the LoopClosing thread (reference: src/LoopClosing.cc
+Run() :103): per new keyframe — detect common regions via the keyframe
+database (NewDetectCommonRegions :386), verify with Sim3 RANSAC + guided
+matching + Sim3 refinement (DetectCommonRegionsFromBoW :790), then either
+correct a loop inside the active map (CorrectLoop :1377 + essential-graph
+optimization) or merge two sub-maps (MergeLocal :1697). A global BA follows
+significant corrections (RunGlobalBundleAdjustment :3067) — here dispatched
+synchronously as a capped bundle_adjust call (the reference's abortable
+background thread maps to the host simply not dispatching further iterations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..map.state import MapState
+from ..ops import lie, cameras, matching
+from ..optim import sim3 as sim3_mod
+from ..optim import posegraph, ba
+from ..utils.config import SlamConfig
+from . import programs
+
+
+class LoopCloser:
+    def __init__(self, cam: cameras.Camera, cfg: SlamConfig, map_state: MapState,
+                 kfdb, mapper):
+        self.cam = cam
+        self.cfg = cfg
+        self.map = map_state
+        self.kfdb = kfdb
+        self.mapper = mapper
+        self._rng = np.random.default_rng(11)
+        self.n_loops = 0
+        self.n_merges = 0
+        # pending hypothesis for temporal verification (LoopClosing.cc:455)
+        self._pending: dict | None = None
+
+    # ------------------------------------------------------------------ main
+    def process_keyframe(self, kf: int) -> bool:
+        """Returns True if a loop/merge correction was applied."""
+        m = self.map
+        if len(m.kf_ids()) < 8:
+            return False
+        cand_info = self._detect(kf)
+        if cand_info is None:
+            return False
+        cand, s12, R12, t12, n_matches = cand_info
+        same_map = m.kf_map_id[cand] == m.kf_map_id[kf]
+        if same_map:
+            self._correct_loop(kf, cand, s12, R12, t12)
+            self.n_loops += 1
+        else:
+            self._merge_maps(kf, cand, s12, R12, t12)
+            self.n_merges += 1
+        return True
+
+    # ----------------------------------------------------------- detection
+    def _detect(self, kf: int):
+        """BoW candidates -> Sim3 verification. Returns (candidate_kf,
+        s12, R12, t12, n_inliers) with S12 mapping candidate-cam points into
+        current-KF cam frame, or None."""
+        m = self.map
+        # exclude the covisible neighborhood (they trivially share words)
+        exclude = set([kf] + m.covisible_kfs(kf, k=30, min_weight=1))
+        qbow = self.kfdb.bow[kf]
+        cands = self.kfdb.detect_candidates(qbow, exclude, m, n_best=3)
+        for cand in cands:
+            if not m.kf_valid[cand]:
+                continue
+            # temporal gate: candidate must not be too recent in same map
+            if m.kf_map_id[cand] == m.kf_map_id[kf] and abs(cand - kf) < 10:
+                continue
+            hit = self._verify_sim3(kf, cand)
+            if hit is not None:
+                return (cand,) + hit
+        return None
+
+    def _verify_sim3(self, kf: int, cand: int):
+        """SearchByBoW-style matching of map points, Sim3 RANSAC, guided
+        refinement (DetectCommonRegionsFromBoW thresholds: >=20 BoW matches,
+        >=15 RANSAC inliers, >=20 opt inliers, LoopClosing.cc:795-814)."""
+        m = self.map
+        node_q = self.kfdb.kf_node.get(kf)
+        node_c = self.kfdb.kf_node.get(cand)
+        if node_q is None or node_c is None:
+            return None
+        mp_q = m.kf_feat_mp[kf]
+        mp_c = m.kf_feat_mp[cand]
+        mask = (
+            (node_q[:, None] == node_c[None, :])
+            & (node_q[:, None] >= 0)
+            & (mp_q >= 0)[:, None]
+            & (mp_c >= 0)[None, :]
+        )
+        if mask.sum() < 10:
+            return None
+        idx, dist, ok = matching.search_by_window(
+            jnp.asarray(m.kf_feat_desc[kf]), jnp.asarray(m.kf_feat_desc[cand]),
+            jnp.asarray(mask), th=matching.TH_LOW, ratio=0.75,
+        )
+        ok_np = np.asarray(ok)
+        idx_np = np.asarray(idx)
+        if ok_np.sum() < 20:
+            return None
+        # matched 3D points in each camera frame
+        q_mp = mp_q
+        c_mp = mp_c[idx_np]
+        pair_ok = ok_np & (q_mp >= 0) & (c_mp >= 0)
+        pair_ok &= m.mp_valid[np.maximum(q_mp, 0)] & m.mp_valid[np.maximum(c_mp, 0)]
+        Xq = m.mp_pos[np.maximum(q_mp, 0)] @ m.kf_R[kf].T + m.kf_t[kf]
+        Xc = m.mp_pos[np.maximum(c_mp, 0)] @ m.kf_R[cand].T + m.kf_t[cand]
+        lv_q = m.kf_feat_level[kf]
+        lv_c = m.kf_feat_level[cand, idx_np]
+
+        fix_scale = not self.cfg.is_mono
+        key = jnp.asarray(self._rng.integers(0, 2**31, 2), jnp.uint32)
+        s, R, t, inl, n = sim3_mod.sim3_ransac(
+            self.cam, jnp.asarray(Xq), jnp.asarray(Xc),
+            jnp.asarray(lv_q), jnp.asarray(lv_c), jnp.asarray(pair_ok), key,
+            fix_scale=fix_scale,
+        )
+        if int(n) < 15:
+            return None
+        uv_q = m.kf_feat_xy[kf]
+        uv_c = m.kf_feat_xy[cand, idx_np]
+        s, R, t, inl2, n2 = sim3_mod.optimize_sim3(
+            self.cam, s, R, t,
+            jnp.asarray(Xq), jnp.asarray(uv_q), jnp.asarray(lv_q),
+            jnp.asarray(Xc), jnp.asarray(uv_c), jnp.asarray(lv_c),
+            jnp.asarray(pair_ok), fix_scale=fix_scale,
+        )
+        if int(n2) < 20:
+            return None
+        return float(s), np.asarray(R), np.asarray(t), int(n2)
+
+    # ----------------------------------------------------------- correction
+    def _correct_loop(self, kf: int, cand: int, s12, R12, t12):
+        """CorrectLoop (LoopClosing.cc:1377): propagate the Sim3 correction
+        to the current KF's covisible group, fuse duplicate points, optimize
+        the essential graph, run a capped global BA."""
+        m = self.map
+        # corrected pose of current KF: Scw_corr = S12 * S_cand_cw
+        # (points seen from cand frame map into current frame via S12)
+        S_cand = (1.0, m.kf_R[cand].astype(np.float64), m.kf_t[cand].astype(np.float64))
+        s_corr = s12 * S_cand[0]
+        R_corr = R12 @ S_cand[1]
+        t_corr = s12 * (R12 @ S_cand[2]) + t12
+
+        # correction transform in world: old Tcw of kf vs corrected Sim3
+        # dS = S_corr^-1 * S_old  maps old-world to corrected-world... apply
+        # per-KF: S_i_corr = S_i_old * dS_w where dS_w aligns worlds.
+        R_old, t_old = m.kf_R[kf].astype(np.float64), m.kf_t[kf].astype(np.float64)
+        # world-correction: x_w' = dSw(x_w) with dSw = S_corr^-1 ∘ S_old
+        si, Ri, ti = _np_sim3_inv(s_corr, R_corr, t_corr)
+        sw, Rw, tw = _np_sim3_mul(si, Ri, ti, 1.0, R_old, t_old)
+
+        window = [kf] + m.covisible_kfs(kf, k=30, min_weight=1)
+        pts = m.local_point_ids(window, cap=10**9)
+        # transform window KFs: S_i' = S_i ∘ dSw^-1 ; points: p' = dSw(p)
+        swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
+        for k in window:
+            sk, Rk, tk = _np_sim3_mul(1.0, m.kf_R[k].astype(np.float64), m.kf_t[k].astype(np.float64), swi, Rwi, twi)
+            m.kf_R[k] = Rk.astype(np.float32)
+            m.kf_t[k] = (tk / sk).astype(np.float32)  # renormalize scale into translation
+        m.mp_pos[pts] = (sw * (m.mp_pos[pts].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
+
+        # fuse: project loop-side points into the corrected window KFs
+        loop_window = [cand] + m.covisible_kfs(cand, k=20, min_weight=1)
+        loop_pts = m.local_point_ids(loop_window, cap=self.cfg.local_points_cap)
+        self._fuse_points_into(window, loop_pts)
+
+        # essential-graph optimization over the whole active map
+        self._optimize_essential_graph(kf, cand)
+        # capped global BA (GBA 10 iters visual)
+        self._global_ba(iters=10)
+        m.version += 1
+
+    def _merge_maps(self, kf: int, cand: int, s12, R12, t12):
+        """MergeLocal (LoopClosing.cc:1697): transform the ACTIVE map into the
+        candidate's (older) map frame, relabel, fuse the weld window, local
+        welding BA."""
+        m = self.map
+        active = m.kf_map_id[kf]
+        target = m.kf_map_id[cand]
+
+        # world alignment: dSw maps active-map world coords into target world
+        R_old, t_old = m.kf_R[kf].astype(np.float64), m.kf_t[kf].astype(np.float64)
+        s_corr = s12 * 1.0
+        R_corr = R12 @ m.kf_R[cand].astype(np.float64)
+        t_corr = s12 * (R12 @ m.kf_t[cand].astype(np.float64)) + t12
+        si, Ri, ti = _np_sim3_inv(s_corr, R_corr, t_corr)
+        sw, Rw, tw = _np_sim3_mul(si, Ri, ti, 1.0, R_old, t_old)
+        swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
+
+        kfs = m.kf_ids(active)
+        mps = m.mp_ids(active)
+        for k in kfs:
+            sk, Rk, tk = _np_sim3_mul(1.0, m.kf_R[k].astype(np.float64), m.kf_t[k].astype(np.float64), swi, Rwi, twi)
+            m.kf_R[k] = Rk.astype(np.float32)
+            m.kf_t[k] = (tk / sk).astype(np.float32)
+        m.mp_pos[mps] = (sw * (m.mp_pos[mps].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
+        m.kf_map_id[kfs] = target
+        m.mp_map_id[mps] = target
+        m.active_map = int(target)
+
+        # weld: fuse current window with candidate window
+        window = [kf] + m.covisible_kfs(kf, k=15, min_weight=1)
+        loop_window = [cand] + m.covisible_kfs(cand, k=15, min_weight=1)
+        loop_pts = m.local_point_ids(loop_window, cap=self.cfg.local_points_cap)
+        self._fuse_points_into(window, loop_pts)
+        # welding BA over the union window
+        self.mapper.local_ba(kf)
+        m.version += 1
+
+    def _fuse_points_into(self, kf_window, point_ids):
+        """SearchAndFuse (LoopClosing.cc:2895): project `point_ids` into each
+        window KF and merge duplicates."""
+        m = self.map
+        if len(point_ids) == 0:
+            return
+        cap = self.cfg.local_points_cap
+        ids = np.asarray(point_ids)[:cap]
+        L = cap
+        lp = programs.LocalPoints(
+            pos=jnp.asarray(_pad(m.mp_pos[ids], L)),
+            desc=jnp.asarray(_pad(m.mp_desc[ids], L)),
+            normal=jnp.asarray(_pad(m.mp_normal[ids], L)),
+            min_dist=jnp.asarray(_pad(m.mp_min_dist[ids], L)),
+            max_dist=jnp.asarray(_pad(m.mp_max_dist[ids], L)),
+            valid=jnp.asarray(_pad(np.ones(len(ids), bool), L)),
+        )
+        for nb in kf_window:
+            fidx, ok, existing = programs.fuse_project(
+                self.cam, jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]), lp,
+                jnp.asarray(m.kf_feat_xy[nb]), jnp.asarray(m.kf_feat_level[nb]),
+                jnp.asarray(m.kf_feat_desc[nb]), jnp.asarray(m.kf_feat_valid[nb]),
+                jnp.asarray(m.kf_feat_mp[nb]),
+                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+            )
+            fidx = np.asarray(fidx)
+            ok_np = np.asarray(ok)[: len(ids)]
+            ex = np.asarray(existing)[: len(ids)]
+            for j in np.nonzero(ok_np)[0]:
+                mp = int(ids[j])
+                if not m.mp_valid[mp]:
+                    continue
+                if ex[j] >= 0 and ex[j] != mp and m.mp_valid[ex[j]]:
+                    # loop-side point wins (CorrectLoop replaces map points
+                    # with their loop counterparts)
+                    m.replace_point(int(ex[j]), mp)
+                elif ex[j] < 0:
+                    m.add_observation(mp, int(nb), int(fidx[j]))
+
+    def _optimize_essential_graph(self, kf: int, cand: int):
+        """Essential graph: spanning tree + strong covisibility (weight>=100)
+        + the new loop edge (Optimizer.cc:4527)."""
+        m = self.map
+        kfs = m.kf_ids()
+        if len(kfs) < 4:
+            return
+        slot = {int(k): i for i, k in enumerate(kfs)}
+        K = len(kfs)
+        ei, ej, es, eR, et, ew = [], [], [], [], [], []
+
+        def add_edge(a, b, weight):
+            s_rel, R_rel, t_rel = _np_sim3_mul(
+                1.0, m.kf_R[a].astype(np.float64), m.kf_t[a].astype(np.float64),
+                *_np_sim3_inv(1.0, m.kf_R[b].astype(np.float64), m.kf_t[b].astype(np.float64)),
+            )
+            ei.append(slot[a]); ej.append(slot[b])
+            es.append(s_rel); eR.append(R_rel); et.append(t_rel); ew.append(weight)
+
+        seen = set()
+        for k in kfs:
+            p = int(m.kf_parent[k])
+            if p >= 0 and p in slot and (k, p) not in seen:
+                add_edge(int(k), p, 1.0)
+                seen.add((int(k), p))
+            for c, w in m.covisibility(int(k)).items():
+                if w >= 100 and c in slot and (int(k), c) not in seen and (c, int(k)) not in seen:
+                    add_edge(int(k), c, 1.0)
+                    seen.add((int(k), c))
+        # loop edge (already-corrected poses => relative is the corrected one)
+        add_edge(int(kf), int(cand), 10.0)
+
+        E = len(ei)
+        prob = posegraph.PoseGraphProblem(
+            s=jnp.ones(K, jnp.float32),
+            R=jnp.asarray(m.kf_R[kfs]),
+            t=jnp.asarray(m.kf_t[kfs]),
+            fixed=jnp.asarray([int(k) == int(cand) for k in kfs]),
+            e_i=jnp.asarray(ei, jnp.int32), e_j=jnp.asarray(ej, jnp.int32),
+            e_s=jnp.asarray(np.asarray(es, np.float32)),
+            e_R=jnp.asarray(np.stack(eR).astype(np.float32)),
+            e_t=jnp.asarray(np.stack(et).astype(np.float32)),
+            e_valid=jnp.ones(E, bool),
+            e_weight=jnp.asarray(ew, jnp.float32),
+        )
+        s, R, t, _ = posegraph.optimize_pose_graph(
+            prob, iters=15, dof4=self.cfg.is_inertial and m.map_viba2.get(m.active_map, False)
+        )
+        s, R, t = np.asarray(s), np.asarray(R), np.asarray(t)
+        # write back: Tcw = [R | t/s]; transform points via their ref KF
+        old_R = m.kf_R[kfs].copy()
+        old_t = m.kf_t[kfs].copy()
+        for i, k in enumerate(kfs):
+            m.kf_R[k] = R[i]
+            m.kf_t[k] = t[i] / s[i]
+        # correct map points through their first observing KF's correction
+        pts = m.mp_ids()
+        ref = m.mp_first_kf[pts]
+        ok = np.isin(ref, kfs)
+        for j in np.nonzero(ok)[0]:
+            mp = pts[j]
+            i = slot.get(int(ref[j]))
+            if i is None:
+                continue
+            # p' = T_new^-1 * T_old * p  (in the ref KF's camera)
+            pc = old_R[i] @ m.mp_pos[mp] + old_t[i]
+            m.mp_pos[mp] = m.kf_R[int(ref[j])].T @ ((pc - m.kf_t[int(ref[j])] * s[i]) / s[i])
+        m.update_point_geometry(pts[:2000])
+
+    def _global_ba(self, iters: int = 10):
+        """GlobalBundleAdjustemnt (Optimizer.cc:2831) over the active map,
+        capped to the BA problem capacity."""
+        self.mapper.global_ba(iters=iters)
+
+
+def _pad(a: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros((n,) + a.shape[1:], a.dtype)
+    out[: len(a)] = a[:n]
+    return out
+
+
+def _np_sim3_mul(sa, Ra, ta, sb, Rb, tb):
+    return sa * sb, Ra @ Rb, sa * (Ra @ tb) + ta
+
+
+def _np_sim3_inv(s, R, t):
+    si = 1.0 / s
+    Rt = R.T
+    return si, Rt, -si * (Rt @ t)

@@ -187,8 +187,22 @@ class LocalMapper:
         m = self.map
         cfg = self.cfg
         opt_kfs = [kf] + m.covisible_kfs(kf, k=cfg.local_ba_kfs - 1, min_weight=5)
-        opt_set = set(opt_kfs)
         pts = m.local_point_ids(opt_kfs, cfg.local_ba_points)
+        self._run_ba(opt_kfs, pts, cfg.local_ba_iters)
+
+    def global_ba(self, iters: int = 10):
+        """GlobalBundleAdjustemnt (Optimizer.cc:2831): all keyframes and
+        points of the active map, first KF fixed; capped to pool sizes."""
+        m = self.map
+        kfs = [int(k) for k in m.kf_ids()][-128:]
+        pts = m.local_point_ids(kfs, self.cfg.local_ba_points)
+        self._run_ba(kfs, pts, iters, gauge_fix_first=True)
+
+    def _run_ba(self, opt_kfs, pts, iters: int, gauge_fix_first: bool = False):
+        m = self.map
+        cfg = self.cfg
+        opt_kfs = list(dict.fromkeys(int(k) for k in opt_kfs))
+        opt_set = set(opt_kfs)
         if len(pts) < 8:
             return
         # fixed observers
@@ -198,13 +212,14 @@ class LocalMapper:
             if k >= 0 and int(k) not in opt_set:
                 fixed.append(int(k))
         fixed = fixed[: cfg.local_ba_fixed_cap]
-        # always gauge-fix: if no fixed observers, pin the oldest window KF
-        if not fixed:
-            fixed = [min(opt_kfs)]
-            opt_kfs = [k for k in opt_kfs if k != fixed[0]]
+        # gauge-fix: pin the oldest KF when nothing else anchors the window
+        if gauge_fix_first or not fixed:
+            anchor = min(opt_kfs)
+            fixed = [anchor] + fixed
+            opt_kfs = [k for k in opt_kfs if k != anchor]
         cam_ids = opt_kfs + fixed
         cam_slot = {c: i for i, c in enumerate(cam_ids)}
-        K = _pad_pow2(len(cam_ids), 8, 64)
+        K = _pad_pow2(len(cam_ids), 8, 256)
         P = _pad_pow2(len(pts), 256, cfg.local_ba_points)
         D = m.cfg.obs_cap
 
@@ -246,9 +261,7 @@ class LocalMapper:
             obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
             obs_valid=jnp.asarray(obs_valid),
         )
-        Rn, tn, pn, inlier, _ = ba.bundle_adjust(
-            self.cam, prob, iters=cfg.local_ba_iters
-        )
+        Rn, tn, pn, inlier, _ = ba.bundle_adjust(self.cam, prob, iters=iters)
         Rn, tn, pn = np.asarray(Rn), np.asarray(tn), np.asarray(pn)
         inlier = np.asarray(inlier)
         for c in opt_kfs:

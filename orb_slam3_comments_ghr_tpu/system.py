@@ -44,6 +44,8 @@ class SLAM:
         self.kfdb = KeyFrameDatabase(self.voc, self.cfg.max_kf)
         self.tracker = Tracker(cam, self.cfg, self.map, kfdb=self.kfdb)
         self.mapper = LocalMapper(cam, self.cfg, self.map, kfdb=self.kfdb)
+        from .pipeline.loopcloser import LoopCloser
+        self.loopcloser = LoopCloser(cam, self.cfg, self.map, self.kfdb, self.mapper)
 
     # --------------------------------------------------------------- per-frame
     def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
@@ -101,9 +103,16 @@ class SLAM:
         """Entry point when features are produced externally (tests, stereo
         pipelines, benchmarking without the extractor)."""
         pose = self.tracker.track(feats, timestamp)
-        if self.tracker.pending_kf is not None and self.n_keyframes() >= 2:
-            self.mapper.process_keyframe(self.tracker.pending_kf)
-            # tracking pose may have been refined by local BA of its KF
+        kf = self.tracker.pending_kf
+        if kf is not None and self.n_keyframes() >= 2:
+            self.mapper.process_keyframe(kf)
+            if self.cfg.enable_loop_closing:
+                corrected = self.loopcloser.process_keyframe(kf)
+                if corrected:
+                    # tracking must continue from the corrected KF pose
+                    self.tracker.last_R = self.map.kf_R[kf].copy()
+                    self.tracker.last_t = self.map.kf_t[kf].copy()
+                    self.tracker.velocity = None
         return pose
 
     # --------------------------------------------------------------- queries

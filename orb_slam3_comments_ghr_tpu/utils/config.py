@@ -44,6 +44,7 @@ class SlamConfig:
     obs_cap: int = 16
     # stereo
     depth_th_factor: float = 35.0         # ThDepth: close-point gate = bf/fx * factor
+    enable_loop_closing: bool = True
     # recovery (5.3)
     recently_lost_secs: float = 5.0
 

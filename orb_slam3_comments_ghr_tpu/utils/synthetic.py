@@ -35,16 +35,38 @@ def make_world(seed: int, n_points: int = 4000, extent=(20.0, 12.0, 8.0),
                  priority=priority)
 
 
+def make_ring_world(seed: int, n_points: int = 6000, r_min: float = 6.0,
+                    r_max: float = 18.0, height: float = 8.0) -> World:
+    """Landmarks on an annulus around the origin — for outward-looking loop
+    trajectories where every heading sees different structure."""
+    rng = np.random.default_rng(seed)
+    a = rng.random(n_points) * 2 * np.pi
+    r = rng.random(n_points) * (r_max - r_min) + r_min
+    pts = np.stack(
+        [r * np.sin(a), (rng.random(n_points) - 0.5) * height, r * np.cos(a)], -1
+    )
+    desc = rng.integers(0, 2**32, (n_points, 8), dtype=np.uint32)
+    patches = rng.random((n_points, 21, 21)).astype(np.float32) * 200.0 + 30.0
+    priority = rng.random(n_points).astype(np.float32)
+    return World(points=pts.astype(np.float32), desc=desc, patches=patches,
+                 priority=priority)
+
+
 def circular_trajectory(n_frames: int, radius: float = 2.0, z_amp: float = 0.2,
-                        look_at=(0.0, 0.0, 10.0), arc: float = 0.8):
-    """List of (R_cw, t_cw) world->cam poses on a horizontal arc, camera
-    yawing to keep the world centroid in view."""
+                        look_at=(0.0, 0.0, 10.0), arc: float = 0.8,
+                        outward: bool = False):
+    """List of (R_cw, t_cw) world->cam poses on a horizontal arc. Inward mode
+    keeps a fixed target in view; outward mode looks radially out (panorama) —
+    the classic loop-closure setup when combined with make_ring_world."""
     poses = []
     look = np.asarray(look_at)
     for i in range(n_frames):
         a = arc * 2 * np.pi * i / n_frames
         c = np.array([radius * np.sin(a), 0.3 * np.sin(2 * a), z_amp * np.sin(3 * a)])
-        fwd = look - c
+        if outward:
+            fwd = np.array([np.sin(a), 0.0, np.cos(a)])
+        else:
+            fwd = look - c
         fwd = fwd / np.linalg.norm(fwd)
         right = np.cross(fwd, np.array([0.0, -1.0, 0.0]))
         right /= np.linalg.norm(right)
