@@ -1,0 +1,110 @@
+"""CLI driver: run SLAM on a dataset directory and export the trajectory.
+
+Replaces the reference's example executables (Examples/ROS nodes; upstream
+mono_euroc/stereo_euroc drivers):
+
+    python -m orb_slam3_comments_ghr_tpu.io.run_slam \
+        --dataset euroc --root /data/MH01 --sensor mono \
+        --out traj_tum.txt [--gt groundtruth.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["euroc", "tum"], required=True)
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--sensor", choices=["mono", "stereo", "rgbd", "imu-mono"],
+                    default="mono")
+    ap.add_argument("--out", default="trajectory_tum.txt")
+    ap.add_argument("--gt", default=None, help="TUM-format ground truth for ATE")
+    ap.add_argument("--n-features", type=int, default=1024)
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..ops import cameras
+    from ..system import SLAM
+    from ..utils.config import (
+        SlamConfig, MONOCULAR, STEREO, RGBD, IMU_MONOCULAR,
+    )
+    from . import datasets
+
+    sensor = {
+        "mono": MONOCULAR, "stereo": STEREO, "rgbd": RGBD,
+        "imu-mono": IMU_MONOCULAR,
+    }[args.sensor]
+    cam = cameras.euroc_cam0()
+    # init-match gate scales with the feature budget (reference: 100 @ ~1000)
+    cfg = SlamConfig(
+        sensor=sensor, n_features=args.n_features,
+        min_init_matches=max(40, args.n_features // 10),
+    )
+    slam = SLAM(cam, cfg)
+
+    if args.dataset == "euroc":
+        ds = datasets.EurocDataset(
+            args.root, stereo=(sensor == STEREO), imu=(sensor == IMU_MONOCULAR)
+        )
+    else:
+        ds = datasets.TumRgbdDataset(args.root)
+
+    n_tracked = 0
+    t0 = time.perf_counter()
+    for i, fr in enumerate(ds):
+        if args.max_frames and i >= args.max_frames:
+            break
+        if fr.imu is not None and len(fr.imu):
+            slam.feed_imu(fr.imu)
+        if sensor == STEREO and fr.img_right is not None:
+            pose = slam.track_stereo(fr.img, fr.img_right, fr.timestamp)
+        elif sensor == RGBD and fr.depth is not None:
+            pose = slam.track_rgbd(fr.img, fr.depth, fr.timestamp)
+        else:
+            pose = slam.track_monocular(fr.img, fr.timestamp)
+        if pose is not None:
+            n_tracked += 1
+    wall = time.perf_counter() - t0
+
+    slam.save_trajectory_tum(args.out)
+    result = {
+        "frames": len(ds), "tracked": n_tracked,
+        "fps": round(len(ds) / max(wall, 1e-9), 2),
+        "keyframes": slam.n_keyframes(), "map_points": slam.n_map_points(),
+        "out": args.out,
+    }
+    if args.gt:
+        from ..utils import evaluation
+
+        gt = []
+        with open(args.gt) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                v = [float(x) for x in line.split()]
+                if len(v) < 8:
+                    continue
+                from ..ops import lie
+                import jax.numpy as jnp
+
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = np.asarray(
+                    lie.quat_to_mat(jnp.asarray([v[7], v[4], v[5], v[6]]))
+                )
+                T[:3, 3] = v[1:4]
+                gt.append((v[0], np.linalg.inv(T)))  # file stores T_wc
+        result["ate_rmse"] = round(
+            evaluation.ate_rmse(slam.trajectory(), gt, with_scale=True), 4
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

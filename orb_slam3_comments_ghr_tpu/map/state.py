@@ -329,6 +329,10 @@ class MapState:
         kfs = self.kf_ids(map_id)
         mps = self.mp_ids(map_id)
         self.mp_pos[mps] = s * (self.mp_pos[mps] @ R.T) + t
+        # scale-dependent derived quantities must follow the map scale
+        self.mp_min_dist[mps] *= s
+        self.mp_max_dist[mps] *= s
+        self.mp_normal[mps] = self.mp_normal[mps] @ R.T
         for k in kfs:
             Rcw, tcw = self.kf_R[k], self.kf_t[k]
             # x_c = Rcw x_w + tcw ; new world x_w' = s R x_w + t =>

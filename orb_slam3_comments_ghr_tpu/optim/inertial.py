@@ -55,6 +55,24 @@ def _stack_info(pre):
     return jax.vmap(imu_mod.information)(pre)
 
 
+def gravity_seed(win: InertialWindow) -> jnp.ndarray:
+    """Initial gravity-direction rotation from the preintegrated velocity
+    deltas: dirG = -sum_i Rwb_i dV_i (LocalMapping.cc:1604-1656). Returns the
+    rotation Rwg0 mapping (0,0,-1) onto dirG."""
+    dV = win.pre.dV  # (K-1, 3)
+    dirG = -jnp.sum(
+        jnp.einsum("kij,kj->ki", win.Rwb[:-1], dV) * win.valid[:, None], axis=0
+    )
+    dirG = dirG / jnp.maximum(jnp.linalg.norm(dirG), 1e-9)
+    gI = jnp.array([0.0, 0.0, -1.0])
+    v = jnp.cross(gI, dirG)
+    s = jnp.linalg.norm(v)
+    c = jnp.dot(gI, dirG)
+    ang = jnp.arctan2(s, c)
+    axis = v / jnp.maximum(s, 1e-9)
+    return lie.so3_exp(jnp.where(s < 1e-6, jnp.zeros(3), axis * ang))
+
+
 @functools.partial(jax.jit, static_argnames=("optimize_scale", "iters"))
 def inertial_init(
     win: InertialWindow,
@@ -65,9 +83,12 @@ def inertial_init(
 ):
     """Returns (Rwg (3,3), scale (), bias (6,), vel (K,3), final_cost).
 
-    Variables x = [phi_xy (2) gravity, log_s (1), bg (3), ba (3), vel (3K)].
+    Variables x = [phi_xy (2) gravity, log_s (1), bg (3), ba (3), vel (3K)];
+    the gravity rotation is seeded from the preintegrated velocity deltas
+    (the reference's dirG seed) so large tilts converge.
     """
     K = win.Rwb.shape[0]
+    Rwg0 = gravity_seed(win)
     info = _stack_info(win.pre)
     # sqrt-information via Cholesky for whitened residuals
     info_sqrt = jnp.linalg.cholesky(
@@ -76,7 +97,7 @@ def inertial_init(
 
     def unpack(x):
         phi = jnp.concatenate([x[:2], jnp.zeros(1, x.dtype)])
-        Rwg = lie.so3_exp(phi)
+        Rwg = Rwg0 @ lie.so3_exp(phi)
         s = jnp.exp(x[2]) if optimize_scale else jnp.array(1.0, x.dtype)
         bias = x[3:9]
         vel = x[9:].reshape(K, 3)

@@ -1,0 +1,85 @@
+"""IMU bookkeeping for the tracking front end.
+
+Mirrors the reference's per-frame IMU plumbing: the sample queue
+(Tracking::GrabImuData, Tracking.cc:1762), the dual preintegration — from the
+last keyframe AND from the last frame (PreintegrateIMU, Tracking.cc:1771) —
+and keyframe-boundary resets (CreateNewKeyFrame resets the from-KF
+accumulator, Tracking.cc:3935)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..optim import imu as imu_mod
+
+SAMPLE_CAP = 256  # max IMU samples per frame gap (padded)
+
+
+class ImuFrontend:
+    def __init__(self, calib: imu_mod.ImuCalib):
+        self.calib = calib
+        self.queue: list[np.ndarray] = []  # rows [t, ax, ay, az, wx, wy, wz]
+        self.bias = np.zeros(6, np.float32)
+        # raw samples since the last keyframe (for from-KF preintegration)
+        self._since_kf: list[np.ndarray] = []
+        self.last_frame_time: Optional[float] = None
+
+    def feed(self, samples: np.ndarray):
+        """samples: (M, 7) [t, ax, ay, az, wx, wy, wz]."""
+        for row in np.atleast_2d(np.asarray(samples, np.float64)):
+            self.queue.append(row)
+
+    def _take_until(self, t: float) -> list[np.ndarray]:
+        out = []
+        while self.queue and self.queue[0][0] <= t:
+            out.append(self.queue.pop(0))
+        return out
+
+    def preintegrate_frame(self, t_frame: float) -> Optional[imu_mod.Preintegrated]:
+        """Consume samples up to t_frame; returns the preintegration from the
+        last frame (None on the first call)."""
+        rows = self._take_until(t_frame)
+        self._since_kf.extend(rows)
+        if self.last_frame_time is None:
+            self.last_frame_time = t_frame
+            return None
+        pre = self._integrate(rows, self.last_frame_time, t_frame)
+        self.last_frame_time = t_frame
+        return pre
+
+    def preintegrate_since_kf(self, t_kf_prev: float, t_frame: float):
+        return self._integrate(self._since_kf, t_kf_prev, t_frame)
+
+    def on_new_keyframe(self):
+        self._since_kf = []
+
+    def _integrate(self, rows, t0: float, t1: float) -> imu_mod.Preintegrated:
+        acc = np.zeros((SAMPLE_CAP, 3), np.float32)
+        gyr = np.zeros((SAMPLE_CAP, 3), np.float32)
+        dts = np.zeros((SAMPLE_CAP,), np.float32)
+        prev_t = t0
+        n = 0
+        for row in rows[:SAMPLE_CAP]:
+            t = min(max(row[0], t0), t1)
+            dt = t - prev_t
+            if dt <= 0:
+                continue
+            acc[n] = row[1:4]
+            gyr[n] = row[4:7]
+            dts[n] = dt
+            prev_t = t
+            n += 1
+        # tail: hold the last sample to the frame time
+        if n > 0 and prev_t < t1:
+            acc[n] = acc[n - 1]
+            gyr[n] = gyr[n - 1]
+            dts[n] = t1 - prev_t
+            n += 1
+        return imu_mod.preintegrate(
+            jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
+            jnp.asarray(self.bias), self.calib,
+        )

@@ -12,9 +12,11 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from ..map.state import MapState
 from ..ops import cameras
-from ..optim import ba
+from ..optim import ba, inertial
 from ..utils.config import SlamConfig
 from . import programs
 
@@ -35,6 +37,13 @@ class LocalMapper:
         self.map = map_state
         self.kfdb = kfdb
         self.recent_mps: list[tuple[int, int]] = []  # (mp_id, birth_kf)
+        # shared with the tracker (system wires these for inertial modes)
+        self.imu = None
+        self.kf_preint: dict[int, object] = {}
+        self.t_imu_init: float | None = None
+        self.map_transformed = False  # set when apply_transform rescaled the map
+        self.viba1_done = False
+        self.viba2_done = False
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
@@ -43,7 +52,148 @@ class LocalMapper:
         self.fuse_neighbors(kf)
         if len(self.map.kf_ids()) > 2:
             self.local_ba(kf)
+        if self.imu is not None:
+            self.maybe_initialize_imu(kf)
         self.cull_keyframes(kf)
+
+    def _merge_preintegrations(self, kf: int):
+        """Preintegrated::MergePrevious (ImuTypes.cc:329): when a keyframe in
+        the temporal chain is culled, re-preintegrate its successor's window
+        from the concatenated raw samples."""
+        import jax.numpy as jnp
+        from ..optim import imu as imu_mod
+        m = self.map
+        nxt = int(m.kf_next[kf])
+        cur = self.kf_preint.get(kf)
+        after = self.kf_preint.get(nxt) if nxt >= 0 else None
+        if cur is None or after is None:
+            self.kf_preint.pop(kf, None)
+            return
+        acc = jnp.concatenate([cur.acc, after.acc])
+        gyr = jnp.concatenate([cur.gyr, after.gyr])
+        dts = jnp.concatenate([cur.dts, after.dts])
+        # keep active samples first so a fixed-capacity truncation keeps data
+        order = jnp.argsort(~(dts > 0))
+        cap = max(acc.shape[0], after.acc.shape[0])
+        self.kf_preint[nxt] = imu_mod.preintegrate(
+            acc[order][:cap], gyr[order][:cap], dts[order][:cap],
+            after.bias, self.imu.calib,
+        )
+        self.kf_preint.pop(kf, None)
+
+    # ------------------------------------------------------------- IMU init
+    def _temporal_chain(self, kf: int, cap: int = 32) -> list[int]:
+        chain = []
+        k = kf
+        m = self.map
+        while k >= 0 and len(chain) < cap and m.kf_valid[k]:
+            chain.append(int(k))
+            k = int(m.kf_prev[k])
+        chain.reverse()
+        return chain
+
+    def _build_inertial_window(self, chain):
+        """Body states from camera poses (Twb = Twc * Tcb) + stacked
+        preintegrations along the temporal chain."""
+        m = self.map
+        import jax.numpy as jnp
+        Rbc = np.asarray(self.imu.calib.Rbc)
+        tbc = np.asarray(self.imu.calib.tbc)
+        Rwb, pwb = [], []
+        for k in chain:
+            Rwc = m.kf_R[k].T
+            cw = -Rwc @ m.kf_t[k]
+            Rwb.append(Rwc @ Rbc.T)          # Rwb = Rwc * Rcb
+            pwb.append(cw - Rwb[-1] @ tbc)   # pwb = cw - Rwb tbc
+        Rwb = np.stack(Rwb).astype(np.float32)
+        pwb = np.stack(pwb).astype(np.float32)
+        pres = []
+        for k in chain[1:]:
+            p = self.kf_preint.get(k)
+            if p is None:
+                return None
+            pres.append(p)
+        pre_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+        dt = np.diff(m.kf_time[chain])
+        vel0 = np.zeros_like(pwb)
+        vel0[1:] = np.diff(pwb, axis=0) / np.maximum(dt[:, None], 1e-3)
+        vel0[0] = vel0[1]
+        return inertial.InertialWindow(
+            Rwb=jnp.asarray(Rwb), pwb=jnp.asarray(pwb),
+            vel0=jnp.asarray(vel0), pre=pre_stack,
+            valid=jnp.ones(len(chain) - 1, bool),
+        )
+
+    def maybe_initialize_imu(self, kf: int):
+        """InitializeIMU staging (LocalMapping.cc:1539 + A.5 schedule):
+        stage 1 gravity/scale/bias init, then VIBA1 (>5 s) and VIBA2 (>15 s)
+        refinements with tighter priors."""
+        m = self.map
+        mid = m.active_map
+        chain = self._temporal_chain(kf)
+        if len(chain) < 6:
+            return
+        t_now = m.kf_time[kf]
+        initialized = m.map_imu_init.get(mid, False)
+        mono = self.cfg.is_mono
+
+        if not initialized:
+            span = m.kf_time[chain[-1]] - m.kf_time[chain[0]]
+            if span < (2.0 if mono else 1.0) or len(chain) < 8:
+                return
+            win = self._build_inertial_window(chain)
+            if win is None:
+                return
+            Rwg, s, bias, vel, _ = inertial.inertial_init(
+                win, prior_g=1e2, prior_a=1e10 if mono else 1e5,
+                optimize_scale=mono,
+            )
+            s = float(s)
+            if s < 0.1:
+                return  # insufficient excitation (LocalMapping.cc:1680)
+            # record velocities in the CURRENT (visual) frame, then gravity-
+            # align + rescale the whole map (Map::ApplyScaledRotation):
+            # world' = s * Rwg^T * world  => gravity becomes -z, scale metric
+            for i, k in enumerate(chain):
+                m.kf_vel[k] = np.asarray(vel[i])
+                m.kf_bias[k] = np.asarray(bias)
+            Rgw = np.asarray(Rwg).T
+            m.apply_transform(mid, s, Rgw, np.zeros(3, np.float32))
+            self.map_transformed = True
+            self.imu.bias = np.asarray(bias)
+            m.map_imu_init[mid] = True
+            self.t_imu_init = float(t_now)
+            self.global_ba(iters=8)  # FullInertialBA stage-1 stand-in
+            return
+
+        # refinement stages
+        if self.t_imu_init is None:
+            self.t_imu_init = float(t_now)
+        elapsed = float(t_now) - self.t_imu_init
+        stage = None
+        if not self.viba1_done and elapsed > 5.0:
+            stage = (1.0, 1e5)
+        elif self.viba1_done and not self.viba2_done and elapsed > 15.0:
+            stage = (0.0, 0.0)
+        if stage is None:
+            return
+        win = self._build_inertial_window(chain)
+        if win is None:
+            return
+        Rwg, s, bias, vel, _ = inertial.inertial_init(
+            win, prior_g=stage[0], prior_a=stage[1], optimize_scale=False,
+        )
+        for i, k in enumerate(chain):
+            m.kf_vel[k] = np.asarray(vel[i])
+            m.kf_bias[k] = np.asarray(bias)
+        self.imu.bias = np.asarray(bias)
+        if not self.viba1_done:
+            self.viba1_done = True
+            m.map_viba1[mid] = True
+        else:
+            self.viba2_done = True
+            m.map_viba2[mid] = True
+        self.global_ba(iters=6)
 
     # ------------------------------------------------------------- cull MPs
     def cull_map_points(self, current_kf: int):
@@ -283,9 +433,15 @@ class LocalMapper:
         if >=90% of its points are seen by >=3 other KFs at same-or-finer
         octave."""
         m = self.map
+        inertial = self.imu is not None
+        if inertial and not m.map_imu_init.get(m.active_map, False):
+            return  # protect the temporal chain until IMU init (LocalMapping.cc:1548)
+        protected = set(self._temporal_chain(kf, cap=21)) if inertial else set()
         for cand in m.covisible_kfs(kf, k=10, min_weight=5):
             if cand == kf or not m.kf_valid[cand]:
                 continue
+            if cand in protected:
+                continue  # last Nd=21 temporal KFs protected (LocalMapping.cc:1197)
             mids = m.kf_feat_mp[cand]
             slots = np.nonzero(mids >= 0)[0]
             if len(slots) < 20:
@@ -305,6 +461,8 @@ class LocalMapper:
                 if n_better >= 3:
                     redundant += 1
             if redundant > self.cfg.kf_cull_redundancy * len(slots):
+                if inertial:
+                    self._merge_preintegrations(cand)
                 m.remove_keyframe(cand)
                 if self.kfdb is not None:
                     self.kfdb.erase(cand)

@@ -18,9 +18,10 @@ import jax.numpy as jnp
 from .. import frontend
 from ..map.state import MapState, MapConfig
 from ..ops import lie, cameras, matching
-from ..optim import twoview, ba
+from ..optim import twoview, ba, imu as imu_mod, inertial, pose_opt
 from ..utils.config import SlamConfig, MONOCULAR
 from . import programs
+from .imu_frontend import ImuFrontend
 
 import jax
 
@@ -60,11 +61,16 @@ class FrameRecord:
 
 class Tracker:
     def __init__(self, cam: cameras.Camera, cfg: SlamConfig, map_state: MapState,
-                 kfdb=None):
+                 kfdb=None, imu: ImuFrontend | None = None):
         self.cam = cam
         self.cfg = cfg
         self.map = map_state
         self.kfdb = kfdb  # retrieval.database.KeyFrameDatabase (optional)
+        self.imu = imu
+        self.kf_preint: dict[int, object] = {}   # kf -> Preintegrated (from prev KF)
+        self.last_kf_time: float = 0.0
+        self.body_vel = np.zeros(3, np.float32)  # body velocity in world
+        self.vi_prior = None
         self.state = NO_IMAGES_YET
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
@@ -87,6 +93,9 @@ class Tracker:
         """Process one frame's features; returns 4x4 Tcw or None if lost."""
         self.frame_id += 1
         self.pending_kf = None
+        self._pre_frame = None
+        if self.imu is not None:
+            self._pre_frame = self.imu.preintegrate_frame(timestamp)
         if self.state == NO_IMAGES_YET:
             self.state = NOT_INITIALIZED
 
@@ -109,6 +118,10 @@ class Tracker:
             self.state = OK
             self.lost_since = 0.0
         else:
+            if self._imu_ready() and getattr(self, "_last_prediction", None) is not None:
+                # keep dead-reckoning so visual tracking can re-latch
+                # (Tracking.cc:2256-2272 RECENTLY_LOST IMU path)
+                self.last_R, self.last_t = self._last_prediction
             if self.state == OK:
                 self.state = RECENTLY_LOST
                 self.lost_since = timestamp
@@ -158,6 +171,9 @@ class Tracker:
             np.eye(3, dtype=np.float32), np.zeros(3, np.float32), f, timestamp
         )
         self._spawn_depth_points(kf, f, max_points=10**9, depth_cap=None)
+        if self.imu is not None:
+            self.imu.on_new_keyframe()
+            self.last_kf_time = timestamp
         self._register_kf(kf)
         self.last_kf = kf
         self.last_R = m.kf_R[kf].copy()
@@ -273,6 +289,10 @@ class Tracker:
         m.kf_t[kf2] *= s
         # normals/distance bands must reflect the final (scaled) geometry
         m.update_point_geometry(mp_ids)
+        if self.imu is not None:
+            self.kf_preint[kf2] = self.imu.preintegrate_since_kf(t1, t2)
+            self.imu.on_new_keyframe()
+            self.last_kf_time = t2
         self._register_kf(kf1)
         self._register_kf(kf2)
 
@@ -364,7 +384,26 @@ class Tracker:
         )
         return lp, ids
 
+    def _imu_ready(self) -> bool:
+        return (
+            self.imu is not None
+            and self.map.map_imu_init.get(self.map.active_map, False)
+            and self._pre_frame is not None
+        )
+
     def _predict_pose(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._imu_ready():
+            # dead-reckon the body state from the last frame (PredictStateIMU)
+            Rwb = np.asarray(self.last_R).T
+            pwb = -Rwb @ np.asarray(self.last_t)
+            Rp, pp, vp = imu_mod.predict_state(
+                jnp.asarray(Rwb), jnp.asarray(pwb), jnp.asarray(self.body_vel),
+                jnp.asarray(self.imu.bias), self._pre_frame,
+            )
+            Rp, pp = np.asarray(Rp), np.asarray(pp)
+            self.body_vel = np.asarray(vp)
+            Rcw = Rp.T
+            return Rcw.copy(), (-Rcw @ pp).copy()
         if self.velocity is not None:
             T = self.velocity @ self._current_pose()
             return T[:3, :3].copy(), T[:3, 3].copy()
@@ -373,6 +412,7 @@ class Tracker:
     def _track_frame(self, feats: frontend.Features, timestamp: float) -> bool:
         cfg = self.cfg
         R0, t0 = self._predict_pose()
+        self._last_prediction = (R0.copy(), t0.copy())
         lp, ids = self._local_points_view()
         wide = self.state != OK
         res = programs.track_against_points(
@@ -385,8 +425,14 @@ class Tracker:
             return False
 
         prev_pose = self._current_pose()
+        prev_R, prev_t = self.last_R.copy(), self.last_t.copy()
         self.last_R = np.asarray(res.R)
         self.last_t = np.asarray(res.t)
+        dt = max(timestamp - self.last_time, 1e-6)
+        # body velocity estimate (world frame) from camera-center motion
+        c_prev = -prev_R.T @ prev_t
+        c_new = -self.last_R.T @ self.last_t
+        self.body_vel = ((c_new - c_prev) / dt).astype(np.float32)
         # constant-velocity model: Tcl = Tcw_new @ inv(Tcw_prev)
         self.velocity = self._current_pose() @ np.linalg.inv(prev_pose)
 
@@ -426,6 +472,14 @@ class Tracker:
         if not self.cfg.is_mono:
             # stereo/RGB-D: spawn close points from measured depth
             self._spawn_depth_points(kf, f, max_points=10**9, depth_cap=None)
+        if self.imu is not None:
+            m.kf_vel[kf] = self.body_vel
+            m.kf_bias[kf] = self.imu.bias
+            self.kf_preint[kf] = self.imu.preintegrate_since_kf(
+                self.last_kf_time, timestamp
+            )
+            self.imu.on_new_keyframe()
+            self.last_kf_time = timestamp
         self._register_kf(kf)
         self.last_kf = kf
         self.frames_since_kf = 0

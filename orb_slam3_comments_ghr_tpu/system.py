@@ -24,7 +24,8 @@ from .utils.config import SlamConfig, MONOCULAR
 
 
 class SLAM:
-    def __init__(self, cam: cameras.Camera, cfg: Optional[SlamConfig] = None):
+    def __init__(self, cam: cameras.Camera, cfg: Optional[SlamConfig] = None,
+                 imu_calib=None):
         self.cam = cam
         self.cfg = cfg or SlamConfig()
         mc = MapConfig(
@@ -42,15 +43,32 @@ class SLAM:
         voc_path = os.path.join(os.path.dirname(__file__), "retrieval", "default_voc.npz")
         self.voc = Vocabulary.load(voc_path) if os.path.exists(voc_path) else Vocabulary.random()
         self.kfdb = KeyFrameDatabase(self.voc, self.cfg.max_kf)
-        self.tracker = Tracker(cam, self.cfg, self.map, kfdb=self.kfdb)
+        self.imu = None
+        if self.cfg.is_inertial:
+            from .optim import imu as imu_mod
+            from .pipeline.imu_frontend import ImuFrontend
+            self.imu = ImuFrontend(imu_calib or imu_mod.default_calib())
+        self.tracker = Tracker(cam, self.cfg, self.map, kfdb=self.kfdb,
+                               imu=self.imu)
         self.mapper = LocalMapper(cam, self.cfg, self.map, kfdb=self.kfdb)
+        self.mapper.imu = self.imu
+        self.mapper.kf_preint = self.tracker.kf_preint
         from .pipeline.loopcloser import LoopCloser
         self.loopcloser = LoopCloser(cam, self.cfg, self.map, self.kfdb, self.mapper)
 
     # --------------------------------------------------------------- per-frame
-    def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
+    def feed_imu(self, samples) -> None:
+        """samples: (M, 7) rows [t, ax, ay, az, wx, wy, wz]
+        (System::TrackMonocular's vImuMeas argument / GrabImuData)."""
+        if self.imu is None:
+            raise RuntimeError("feed_imu requires an IMU_* sensor config")
+        self.imu.feed(samples)
+
+    def track_monocular(self, img, timestamp: float, imu_samples=None) -> Optional[np.ndarray]:
         """img: (H,W) grayscale array. Returns 4x4 Tcw or None
         (System::TrackMonocular, System.h:120)."""
+        if imu_samples is not None:
+            self.feed_imu(imu_samples)
         feats = frontend.extract(
             jnp.asarray(img),
             n_features=self.cfg.n_features,
@@ -106,6 +124,13 @@ class SLAM:
         kf = self.tracker.pending_kf
         if kf is not None and self.n_keyframes() >= 2:
             self.mapper.process_keyframe(kf)
+            if self.mapper.map_transformed:
+                # IMU init rescaled/rotated the world: re-seat the tracker
+                self.mapper.map_transformed = False
+                self.tracker.last_R = self.map.kf_R[kf].copy()
+                self.tracker.last_t = self.map.kf_t[kf].copy()
+                self.tracker.body_vel = self.map.kf_vel[kf].copy()
+                self.tracker.velocity = None
             if self.cfg.enable_loop_closing:
                 corrected = self.loopcloser.process_keyframe(kf)
                 if corrected:

@@ -214,6 +214,70 @@ def render_image(
     return img.astype(np.float32)
 
 
+def vi_sequence(
+    n_frames: int,
+    cam_hz: float = 20.0,
+    imu_hz: float = 200.0,
+    radius: float = 2.0,
+    look_at=(0.0, 0.0, 10.0),
+    arc: float = 0.8,
+    gravity_tilt=(0.15, -0.1),
+):
+    """Camera poses + consistent IMU samples from a smooth analytic arc.
+
+    The visual world is deliberately NOT gravity-aligned: gravity points along
+    R_tilt @ (0,0,-g) so the IMU initialization has real work to do. Body
+    frame == camera frame (Tbc = I). Returns (poses, imu_rows (M,7),
+    timestamps)."""
+    from ..ops import lie as _lie
+    from ..optim.imu import GRAVITY
+
+    look = np.asarray(look_at, np.float64)
+    T_total = n_frames / cam_hz
+
+    def pose_at(t):
+        a = arc * 2 * np.pi * t / T_total
+        c = np.array([radius * np.sin(a), 0.3 * np.sin(2 * a), 0.2 * np.sin(3 * a)])
+        fwd = look - c
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, np.array([0.0, -1.0, 0.0]))
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R_wc = np.stack([right, down, fwd], axis=1)
+        return R_wc, c
+
+    R_tilt = np.asarray(
+        lie_exp := _lie.so3_exp(
+            jnp.asarray([gravity_tilt[0], gravity_tilt[1], 0.0])
+        )
+    )
+    g_world = R_tilt @ np.array([0.0, 0.0, -GRAVITY])
+
+    # camera poses at cam_hz
+    poses = []
+    for i in range(n_frames):
+        R_wc, c = pose_at(i / cam_hz)
+        R_cw = R_wc.T
+        poses.append((R_cw.astype(np.float32), (-R_cw @ c).astype(np.float32)))
+
+    # IMU at imu_hz via central differences of the analytic pose
+    rows = []
+    h = 1e-4
+    n_imu = int(T_total * imu_hz)
+    for j in range(1, n_imu):
+        t = j / imu_hz
+        R0, c0 = pose_at(t - h)
+        R1, c1 = pose_at(t)
+        R2, c2 = pose_at(t + h)
+        v = (c2 - c0) / (2 * h)
+        a_w = (c2 - 2 * c1 + c0) / (h * h)
+        dR = R1.T @ R2  # body-frame increment over h
+        w_b = np.asarray(_lie.so3_log(jnp.asarray(dR))) / h
+        f_b = R1.T @ (a_w - g_world)
+        rows.append([t, *f_b, *w_b])
+    return poses, np.asarray(rows), [i / cam_hz for i in range(n_frames)]
+
+
 def gt_trajectory(poses) -> list:
     out = []
     for i, (R, t) in enumerate(poses):
