@@ -332,13 +332,103 @@ class LocalMapper:
 
     # ------------------------------------------------------------- local BA
     def local_ba(self, kf: int):
-        """LocalBundleAdjustment (Optimizer.cc:1758): optimize the covisible
-        window + its points; other observers enter as fixed cameras."""
+        """LocalBundleAdjustment (Optimizer.cc:1758) — or, once the map is
+        IMU-initialized, LocalInertialBA over the temporal sliding window
+        (Optimizer.cc:2221, <=10 KFs)."""
         m = self.map
         cfg = self.cfg
+        if self.imu is not None and m.map_imu_init.get(m.active_map, False):
+            chain = self._temporal_chain(kf, cap=cfg.local_ba_kfs)
+            if len(chain) >= 3:
+                pts = m.local_point_ids(chain, cfg.local_ba_points)
+                self._run_vi_ba(chain, pts, iters=max(4, cfg.local_ba_iters // 2))
+                return
         opt_kfs = [kf] + m.covisible_kfs(kf, k=cfg.local_ba_kfs - 1, min_weight=5)
         pts = m.local_point_ids(opt_kfs, cfg.local_ba_points)
         self._run_ba(opt_kfs, pts, cfg.local_ba_iters)
+
+    def _run_vi_ba(self, chain, pts, iters: int):
+        """Build + solve a visual-inertial BA over the temporal chain
+        (consecutive preintegrations required; first KF's pose fixed)."""
+        import jax
+        import jax.numpy as jnp
+        from ..optim import vi_ba, imu as imu_mod
+
+        m = self.map
+        if len(pts) < 8:
+            return
+        pres = []
+        for k in chain[1:]:
+            p_ = self.kf_preint.get(k)
+            if p_ is None:
+                return
+            pres.append(p_)
+        pre_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+
+        K = len(chain)
+        Rbc = np.asarray(self.imu.calib.Rbc)
+        tbc = np.asarray(self.imu.calib.tbc)
+        Rcb = Rbc.T
+        tcb = -Rcb @ tbc
+        Rwb = np.zeros((K, 3, 3), np.float32)
+        pwb = np.zeros((K, 3), np.float32)
+        for i, k in enumerate(chain):
+            Rwc = m.kf_R[k].T
+            cw = -Rwc @ m.kf_t[k]
+            Rwb[i] = Rwc @ Rbc.T
+            pwb[i] = cw - Rwb[i] @ tbc
+
+        P = _pad_pow2(len(pts), 256, self.cfg.local_ba_points)
+        D = m.cfg.obs_cap
+        slot = {c: i for i, c in enumerate(chain)}
+        p_arr = np.zeros((P, 3), np.float32)
+        p_valid = np.zeros((P,), bool)
+        obs_cam = np.zeros((P, D), np.int32)
+        obs_uv = np.zeros((P, D, 2), np.float32)
+        obs_ur = np.full((P, D), -1.0, np.float32)
+        obs_level = np.zeros((P, D), np.int32)
+        obs_valid = np.zeros((P, D), bool)
+        p_arr[: len(pts)] = m.mp_pos[pts]
+        p_valid[: len(pts)] = True
+        for j, mp in enumerate(pts):
+            for s in range(D):
+                c = m.mp_obs_kf[mp, s]
+                if c < 0 or int(c) not in slot:
+                    continue
+                fi = m.mp_obs_idx[mp, s]
+                obs_cam[j, s] = slot[int(c)]
+                obs_uv[j, s] = m.kf_feat_xy[c, fi]
+                obs_ur[j, s] = m.kf_feat_ur[c, fi]
+                obs_level[j, s] = m.kf_feat_level[c, fi]
+                obs_valid[j, s] = True
+
+        prob = vi_ba.VIBAProblem(
+            Rwb=jnp.asarray(Rwb), pwb=jnp.asarray(pwb),
+            vel=jnp.asarray(m.kf_vel[chain]), bias=jnp.asarray(m.kf_bias[chain]),
+            fixed=jnp.arange(K) < 1,
+            Rcb=jnp.asarray(Rcb.astype(np.float32)),
+            tcb=jnp.asarray(tcb.astype(np.float32)),
+            p=jnp.asarray(p_arr), p_valid=jnp.asarray(p_valid),
+            obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
+            obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
+            obs_valid=jnp.asarray(obs_valid),
+            pre=pre_stack, pre_valid=jnp.ones(K - 1, bool),
+        )
+        Rwb_n, pwb_n, vel_n, bias_n, p_n, inlier, _ = vi_ba.vi_bundle_adjust(
+            self.cam, prob, iters=iters
+        )
+        Rwb_n, pwb_n = np.asarray(Rwb_n), np.asarray(pwb_n)
+        for i, k in enumerate(chain):
+            Rwc = Rwb_n[i] @ Rbc          # Rwb * Rbc
+            Rcw = Rwc.T
+            cw = pwb_n[i] + Rwb_n[i] @ tbc
+            m.kf_R[k] = Rcw
+            m.kf_t[k] = -Rcw @ cw
+            m.kf_vel[k] = np.asarray(vel_n)[i]
+            m.kf_bias[k] = np.asarray(bias_n)[i]
+        m.mp_pos[pts] = np.asarray(p_n)[: len(pts)]
+        self.imu.bias = np.asarray(bias_n)[-1]
+        m.version += 1
 
     def global_ba(self, iters: int = 10):
         """GlobalBundleAdjustemnt (Optimizer.cc:2831): all keyframes and

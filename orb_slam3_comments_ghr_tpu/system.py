@@ -151,6 +151,34 @@ class SLAM:
     def n_map_points(self) -> int:
         return len(self.map.mp_ids())
 
+    # ----------------------------------------------------------- persistence
+    def save_atlas(self, path: str):
+        """Checkpoint the whole multi-map state (System::SaveAtlas)."""
+        from .map.persistence import save_atlas
+
+        save_atlas(self.map, path, voc=self.voc)
+
+    def load_atlas(self, path: str, new_session: bool = True):
+        """Load a previous session's atlas; with new_session=True a fresh
+        active sub-map is opened so this session's tracking starts clean and
+        can later merge into the loaded maps (multi-session SLAM,
+        System.cc:194-207)."""
+        from .map.persistence import load_atlas
+
+        self.map = load_atlas(path, voc=self.voc)
+        # rebuild the BoW database from the stored descriptors
+        for kf in self.map.kf_ids():
+            self.kfdb.add(int(kf), self.map.kf_feat_desc[kf], self.map.kf_feat_valid[kf])
+        if new_session:
+            self.map.create_new_map()
+        # rewire components to the new map object
+        self.tracker.map = self.map
+        self.mapper.map = self.map
+        self.loopcloser.map = self.map
+        self.tracker.state = 0  # NO_IMAGES_YET
+        self.tracker.last_kf = -1
+        self.tracker._init_feats = None
+
     # --------------------------------------------------------------- export
     def trajectory(self) -> list[tuple[float, np.ndarray]]:
         """Full-frame trajectory rebuilt against (possibly BA-refined) reference KFs
