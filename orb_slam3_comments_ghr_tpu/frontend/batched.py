@@ -251,6 +251,15 @@ def extract_batched(
 
     xs, ys, lvls, rs, valid = _batched_select(resp, quotas, border=0)
 
+    # compact to exactly n_features BEFORE the per-keypoint stages so the
+    # orientation/descriptor work never runs on padding candidates
+    n_cand = xs.shape[0]
+    pri = jnp.where(valid, 1e6 + rs, 0.0) - jnp.arange(n_cand) * 1e-6
+    _, order = jax.lax.top_k(pri, n_features)
+    xs, ys, lvls, rs, valid = (
+        xs[order], ys[order], lvls[order], rs[order], valid[order]
+    )
+
     m10, m01 = _ic_angle_maps(P)
     flat10 = m10.reshape(-1)
     flat01 = m01.reshape(-1)
@@ -263,23 +272,13 @@ def extract_batched(
     sfac = jnp.asarray([scale ** i for i in range(n_levels)])[lvls]
     xy = jnp.stack([xs.astype(jnp.float32) * sfac, ys.astype(jnp.float32) * sfac], -1)
 
-    n = xs.shape[0]
-    feats = Features(
+    return Features(
         xy=xy,
         level=lvls.astype(jnp.int32),
         angle=angles,
         response=jnp.where(valid, rs, -jnp.inf),
         desc=desc,
         valid=valid,
-        u_right=jnp.full((n,), -1.0, jnp.float32),
-        depth=jnp.full((n,), -1.0, jnp.float32),
+        u_right=jnp.full((n_features,), -1.0, jnp.float32),
+        depth=jnp.full((n_features,), -1.0, jnp.float32),
     )
-    # compact the valid entries into the first n_features slots: order by
-    # validity (stable top_k on priority), so downstream padding masks hold
-    pri = jnp.where(valid, 1e6 + rs, 0.0) - jnp.arange(n) * 1e-6
-    _, order = jax.lax.top_k(pri, n_features)
-
-    def take(a):
-        return a[order]
-
-    return jax.tree.map(take, feats)

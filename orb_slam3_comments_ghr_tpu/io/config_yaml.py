@@ -1,0 +1,111 @@
+"""Reference-compatible YAML settings ingestion.
+
+Replaces the Settings loader (reference: src/Settings.cc, Settings.h:128-163):
+reads the same `File.version: "1.0"` key schema (Camera1.fx, Camera.width,
+ORBextractor.nFeatures, IMU.NoiseGyro, ...) plus the legacy flat keys
+(Camera.fx, ORBextractor.*, Tracking.cc:691 parsers) so reference YAMLs run
+unmodified. Missing REQUIRED keys raise with the key name, like the
+reference's hard exit (Settings.h:128-151)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..ops import cameras
+from ..optim import imu as imu_mod
+from ..utils.config import (
+    SlamConfig, MONOCULAR, STEREO, RGBD, IMU_MONOCULAR, IMU_STEREO, IMU_RGBD,
+)
+
+SENSOR_NAMES = {
+    "MONOCULAR": MONOCULAR, "STEREO": STEREO, "RGBD": RGBD,
+    "IMU_MONOCULAR": IMU_MONOCULAR, "IMU_STEREO": IMU_STEREO,
+    "IMU_RGBD": IMU_RGBD,
+}
+
+
+def _load_flat(path: str) -> dict:
+    """cv::FileStorage YAMLs start with '%YAML:1.0' which PyYAML rejects;
+    strip directives, parse, and flatten 'A.b' style keys."""
+    import yaml
+
+    with open(path) as f:
+        text = f.read()
+    lines = [l for l in text.splitlines() if not l.startswith("%YAML")]
+    doc = yaml.safe_load("\n".join(lines)) or {}
+    # cv::FileStorage files use literal dotted keys ("Camera.fx: 458"), which
+    # PyYAML keeps as-is; nested mappings are flattened one level.
+    flat = {}
+    for k, v in doc.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                flat[f"{k}.{k2}"] = v2
+        else:
+            flat[k] = v
+    return flat
+
+
+def _req(flat: dict, *names):
+    for n in names:
+        if n in flat:
+            return flat[n]
+    raise KeyError(
+        f"required setting missing: one of {names} (Settings.h hard-exit semantics)"
+    )
+
+
+def _opt(flat: dict, default, *names):
+    for n in names:
+        if n in flat:
+            return flat[n]
+    return default
+
+
+def load_settings(path: str, sensor: Optional[int] = None):
+    """Returns (Camera, SlamConfig, ImuCalib|None). Accepts both v1.0
+    ('Camera1.fx') and legacy ('Camera.fx') key schemas."""
+    flat = _load_flat(path)
+    cam_type = str(_opt(flat, "PinHole", "Camera.type", "Camera1.type"))
+    kind = cameras.KANNALA_BRANDT8 if "Kannala" in cam_type else cameras.PINHOLE
+    cam = cameras.Camera(
+        kind=kind,
+        fx=float(_req(flat, "Camera1.fx", "Camera.fx")),
+        fy=float(_req(flat, "Camera1.fy", "Camera.fy")),
+        cx=float(_req(flat, "Camera1.cx", "Camera.cx")),
+        cy=float(_req(flat, "Camera1.cy", "Camera.cy")),
+        k1=float(_opt(flat, 0.0, "Camera1.k1", "Camera.k1")),
+        k2=float(_opt(flat, 0.0, "Camera1.k2", "Camera.k2")),
+        k3=float(_opt(flat, 0.0, "Camera1.k3", "Camera.k3")),
+        k4=float(_opt(flat, 0.0, "Camera1.k4", "Camera.k4")),
+        width=int(_opt(flat, 752, "Camera.width", "Camera1.width")),
+        height=int(_opt(flat, 480, "Camera.height", "Camera1.height")),
+        bf=float(_opt(flat, 0.0, "Camera.bf", "Stereo.b")) or 0.0,
+        fps=float(_opt(flat, 30.0, "Camera.fps")),
+    )
+    if sensor is None:
+        sensor = MONOCULAR
+    cfg = SlamConfig(
+        sensor=sensor,
+        n_features=int(_opt(flat, 1024, "ORBextractor.nFeatures")),
+        n_levels=int(_opt(flat, 8, "ORBextractor.nLevels")),
+        scale_factor=float(_opt(flat, 1.2, "ORBextractor.scaleFactor")),
+        ini_th_fast=float(_opt(flat, 20, "ORBextractor.iniThFAST")),
+        min_th_fast=float(_opt(flat, 7, "ORBextractor.minThFAST")),
+        max_frames_between_kf=int(cam.fps),
+        depth_th_factor=float(_opt(flat, 35.0, "ThDepth", "Stereo.ThDepth", "RGBD.DepthMapFactor")),
+    )
+    calib = None
+    if sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
+        freq = float(_opt(flat, 200.0, "IMU.Frequency"))
+        sf = freq ** 0.5
+        calib = imu_mod.ImuCalib(
+            Rbc=jnp.eye(3),
+            tbc=jnp.zeros(3),
+            noise_g=float(_req(flat, "IMU.NoiseGyro")) * sf,
+            noise_a=float(_req(flat, "IMU.NoiseAcc")) * sf,
+            walk_g=float(_req(flat, "IMU.GyroWalk")) * sf,
+            walk_a=float(_req(flat, "IMU.AccWalk")) * sf,
+        )
+    return cam, cfg, calib
