@@ -163,7 +163,10 @@ class LocalMapper:
             self.imu.bias = np.asarray(bias)
             m.map_imu_init[mid] = True
             self.t_imu_init = float(t_now)
-            self.global_ba(iters=8)  # FullInertialBA stage-1 stand-in
+            # FullInertialBA over the init window (Optimizer.cc:3254, 100 it
+            # in the reference; the windowed VI-BA converges in ~12 here)
+            pts = m.local_point_ids(chain, self.cfg.local_ba_points)
+            self._run_vi_ba(chain, pts, iters=12)
             return
 
         # refinement stages
@@ -176,6 +179,26 @@ class LocalMapper:
         elif self.viba1_done and not self.viba2_done and elapsed > 15.0:
             stage = (0.0, 0.0)
         if stage is None:
+            # mono-only periodic scale/gravity refinement (ScaleRefinement,
+            # LocalMapping.cc:1912; every ~10 s while the map is young)
+            if (
+                mono
+                and elapsed > 25.0
+                and float(t_now) - self.last_scale_refine_t > 10.0
+                and len(m.kf_ids()) <= 200
+            ):
+                win = self._build_inertial_window(chain)
+                if win is not None:
+                    import jax.numpy as jnp
+                    Rwg, s = inertial.scale_gravity_refine(
+                        win, jnp.asarray(self.imu.bias)
+                    )
+                    s = float(s)
+                    if abs(s - 1.0) > 0.002 and 0.5 < s < 2.0:
+                        Rgw = np.asarray(Rwg).T
+                        m.apply_transform(mid, s, Rgw, np.zeros(3, np.float32))
+                        self.map_transformed = True
+                    self.last_scale_refine_t = float(t_now)
             return
         win = self._build_inertial_window(chain)
         if win is None:
@@ -193,7 +216,8 @@ class LocalMapper:
         else:
             self.viba2_done = True
             m.map_viba2[mid] = True
-        self.global_ba(iters=6)
+        pts = m.local_point_ids(chain, self.cfg.local_ba_points)
+        self._run_vi_ba(chain, pts, iters=8)
 
     # ------------------------------------------------------------- cull MPs
     def cull_map_points(self, current_kf: int):

@@ -86,6 +86,7 @@ class Tracker:
         self._init_time = None
         self.records: list[FrameRecord] = []
         self.pending_kf: Optional[int] = None  # set when a KF was created
+        self.localization_only = False  # ActivateLocalizationMode (System.h:123)
         self._rng = np.random.default_rng(0)
 
     # ---------------------------------------------------------------- public
@@ -94,6 +95,16 @@ class Tracker:
         self.frame_id += 1
         self.pending_kf = None
         self._pre_frame = None
+        # input-fault handling (Tracking.cc:2039-2094): non-monotonic
+        # timestamps flush IMU and open a fresh sub-map; big gaps reset young
+        # maps
+        if self.state not in (NO_IMAGES_YET, NOT_INITIALIZED):
+            if timestamp < self.last_time:
+                if self.imu is not None:
+                    self.imu.queue.clear()
+                self._handle_lost()
+            elif timestamp - self.last_time > 1.0 and self.cfg.is_inertial:
+                self._handle_lost()
         if self.imu is not None:
             self._pre_frame = self.imu.preintegrate_frame(timestamp)
         if self.state == NO_IMAGES_YET:
@@ -428,6 +439,8 @@ class Tracker:
         prev_R, prev_t = self.last_R.copy(), self.last_t.copy()
         self.last_R = np.asarray(res.R)
         self.last_t = np.asarray(res.t)
+        if self._imu_ready() and self.last_kf >= 0:
+            self._vi_refine(feats, res, ids)
         dt = max(timestamp - self.last_time, 1e-6)
         # body velocity estimate (world frame) from camera-center motion
         c_prev = -prev_R.T @ prev_t
@@ -444,9 +457,82 @@ class Tracker:
         m.mp_found[ids[inl]] += 1
 
         self.frames_since_kf += 1
-        if n_inl >= cfg.min_local_inliers and self._need_new_kf(n_inl):
+        if (
+            not self.localization_only
+            and n_inl >= cfg.min_local_inliers
+            and self._need_new_kf(n_inl)
+        ):
             self._create_new_kf(feats, timestamp, res, ids)
         return n_inl >= (cfg.min_local_inliers if self.state == OK else cfg.min_track_matches)
+
+    def _vi_refine(self, feats, res, ids):
+        """Visual-inertial pose refinement for the current frame
+        (PoseInertialOptimizationLastKeyFrame, Optimizer.cc:435): reprojection
+        of the tracked matches + preintegration from the last keyframe +
+        bias random walk, on the 15-dof body state."""
+        from ..optim import inertial, pose_opt
+        m = self.map
+        kf = self.last_kf
+        pre = self.imu.preintegrate_since_kf(self.last_kf_time, self.last_time)
+        if float(pre.dT) <= 1e-6:
+            return
+        Rbc = np.asarray(self.imu.calib.Rbc)
+        tbc = np.asarray(self.imu.calib.tbc)
+        Rcb = Rbc.T
+        tcb = -Rcb @ tbc
+        # previous KF body state
+        Rwc_k = m.kf_R[kf].T
+        cw_k = -Rwc_k @ m.kf_t[kf]
+        prev = inertial.VIState(
+            Rwb=jnp.asarray(Rwc_k @ Rbc.T),
+            pwb=jnp.asarray(cw_k - (Rwc_k @ Rbc.T) @ tbc),
+            vel=jnp.asarray(m.kf_vel[kf]),
+            bias=jnp.asarray(m.kf_bias[kf]),
+        )
+        # current state from the visual solution
+        Rwc = self.last_R.T
+        cw = -Rwc @ self.last_t
+        Rwb = Rwc @ Rbc.T
+        state0 = inertial.VIState(
+            Rwb=jnp.asarray(Rwb),
+            pwb=jnp.asarray(cw - Rwb @ tbc),
+            vel=jnp.asarray(self.body_vel),
+            bias=jnp.asarray(self.imu.bias),
+        )
+        match_feat = np.asarray(res.match_feat)[: len(ids)]
+        inl = np.asarray(res.inlier)[: len(ids)]
+        L = res.match_feat.shape[0]
+        uv = np.zeros((L, 2), np.float32)
+        lvl = np.zeros((L,), np.int32)
+        ok = np.zeros((L,), bool)
+        fxy = np.asarray(feats.xy)
+        flv = np.asarray(feats.level)
+        sel = inl & (match_feat >= 0)
+        uv[: len(ids)][sel] = fxy[match_feat[sel]]
+        lvl[: len(ids)][sel] = flv[match_feat[sel]]
+        ok[: len(ids)] = sel
+        pos = np.zeros((L, 3), np.float32)
+        pos[: len(ids)] = m.mp_pos[ids]
+        obs = pose_opt.PoseObs(
+            p_world=jnp.asarray(pos), uv=jnp.asarray(uv),
+            u_right=jnp.full((L,), -1.0), level=jnp.asarray(lvl),
+            valid=jnp.asarray(ok),
+        )
+        st, inl2, n2, nxt = inertial.pose_inertial_optimize(
+            self.cam, state0, prev, pre, obs,
+            (jnp.asarray(Rcb.astype(np.float32)), jnp.asarray(tcb.astype(np.float32))),
+            self.vi_prior if self.vi_prior is not None else inertial.empty_prior(),
+        )
+        if int(n2) >= self.cfg.min_track_matches:
+            Rwb_n = np.asarray(st.Rwb)
+            pwb_n = np.asarray(st.pwb)
+            Rwc_n = Rwb_n @ Rbc
+            cw_n = pwb_n + Rwb_n @ tbc
+            self.last_R = Rwc_n.T
+            self.last_t = -Rwc_n.T @ cw_n
+            self.body_vel = np.asarray(st.vel)
+            self.imu.bias = np.asarray(st.bias)
+            self.vi_prior = nxt
 
     def _need_new_kf(self, n_inl: int) -> bool:
         """NeedNewKeyFrame (Tracking.cc:3726) reduced to the mono conditions:
@@ -532,6 +618,13 @@ class Tracker:
                 self.last_t = np.asarray(t)
                 self.velocity = None
                 self.last_kf = kf
+                # relocalized into another sub-map: make it the active map —
+                # multi-session recovery (the reference reaches the same end
+                # state via the merge path)
+                target_map = int(m.kf_map_id[kf])
+                if target_map != m.active_map:
+                    m.active_map = target_map
+                    m.version += 1
                 return True
         return False
 

@@ -151,6 +151,41 @@ class SLAM:
     def n_map_points(self) -> int:
         return len(self.map.mp_ids())
 
+    # ------------------------------------------------------------ mode/reset
+    def activate_localization_mode(self):
+        """Tracking-only: no new keyframes/map growth (System.h:123)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
+    def reset(self):
+        """Full reset: drop all maps and state (System::Reset)."""
+        mc = self.map.cfg
+        from .map.state import MapState
+        self.map = MapState(mc)
+        self.tracker.map = self.map
+        self.mapper.map = self.map
+        self.loopcloser.map = self.map
+        self.tracker.state = 0
+        self.tracker.last_kf = -1
+        self.tracker._init_feats = None
+        self.tracker.records.clear()
+        self.mapper.recent_mps.clear()
+        self.tracker.kf_preint.clear()
+
+    def reset_active_map(self):
+        """Drop only the active sub-map (System::ResetActiveMap)."""
+        m = self.map
+        for mp in m.mp_ids():
+            m.remove_point(int(mp))
+        for kf in m.kf_ids():
+            m.kf_valid[kf] = False
+            self.kfdb.erase(int(kf))
+        self.tracker.state = 1
+        self.tracker.last_kf = -1
+        self.tracker._init_feats = None
+
     # ----------------------------------------------------------- persistence
     def save_atlas(self, path: str):
         """Checkpoint the whole multi-map state (System::SaveAtlas)."""
@@ -199,6 +234,42 @@ class SLAM:
             T_rw[:3, 3] = self.map.kf_t[ref]
             out.append((rec.timestamp, rec.T_cr @ T_rw))
         return out
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe-only trajectory (System::SaveKeyFrameTrajectoryTUM)."""
+        with open(path, "w") as f:
+            for kf in self.map.kf_ids():
+                T_wc = np.eye(4, dtype=np.float32)
+                T_wc[:3, :3] = self.map.kf_R[kf].T
+                T_wc[:3, 3] = -self.map.kf_R[kf].T @ self.map.kf_t[kf]
+                q = np.asarray(lie.mat_to_quat(jnp.asarray(T_wc[:3, :3])))
+                t = T_wc[:3, 3]
+                f.write(
+                    f"{self.map.kf_time[kf]:.6f} {t[0]:.7f} {t[1]:.7f} "
+                    f"{t[2]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )
+
+    def save_trajectory_euroc(self, path: str):
+        """EuRoC format: TUM fields with nanosecond timestamps
+        (System::SaveTrajectoryEuRoC, System.cc:730)."""
+        with open(path, "w") as f:
+            for ts, T_cw in self.trajectory():
+                T_wc = np.linalg.inv(T_cw)
+                q = np.asarray(lie.mat_to_quat(jnp.asarray(T_wc[:3, :3])))
+                t = T_wc[:3, 3]
+                f.write(
+                    f"{int(ts*1e9)} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 3x4 row-major T_wc per line
+        (System::SaveTrajectoryKITTI, System.cc:1275)."""
+        with open(path, "w") as f:
+            for ts, T_cw in self.trajectory():
+                T_wc = np.linalg.inv(T_cw)
+                row = T_wc[:3, :4].reshape(-1)
+                f.write(" ".join(f"{v:.7e}" for v in row) + "\n")
 
     def save_trajectory_tum(self, path: str):
         """TUM format: `t x y z qx qy qz qw` of the camera in world
