@@ -139,6 +139,23 @@ def stereo_right_u(cam: Camera, u: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarr
     return u - cam.bf / jnp.maximum(depth, 1e-9)
 
 
+def pinhole_equivalent(cam: Camera) -> Camera:
+    """The virtual undistorted pinhole sharing cam's fx/fy/cx/cy — the
+    geometry camera used with undistorted keypoints (Frame::UndistortKeyPoints
+    pattern, Frame.cc:157: all downstream geometry runs on mvKeysUn)."""
+    import dataclasses as _dc
+
+    return _dc.replace(cam, kind=PINHOLE, k1=0.0, k2=0.0, k3=0.0, k4=0.0)
+
+
+def undistort_points(cam: Camera, uv: jnp.ndarray) -> jnp.ndarray:
+    """Map raw (distorted) pixel coords to the virtual pinhole image."""
+    if cam.kind == PINHOLE:
+        return uv
+    rays = unproject(cam, uv)
+    return project(pinhole_equivalent(cam), rays)
+
+
 def euroc_cam0() -> Camera:
     """EuRoC MAV cam0 intrinsics (rectified pinhole used across examples)."""
     return Camera(

@@ -36,19 +36,37 @@ class LoopCloser:
         self._rng = np.random.default_rng(11)
         self.n_loops = 0
         self.n_merges = 0
+        self.required_hits = 2  # consecutive-KF confirmations before correcting
         # pending hypothesis for temporal verification (LoopClosing.cc:455)
         self._pending: dict | None = None
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int) -> bool:
-        """Returns True if a loop/merge correction was applied."""
+        """Returns True if a loop/merge correction was applied. A hypothesis
+        must be re-confirmed on consecutive keyframes before the correction
+        is applied (temporal verification, LoopClosing.cc:455-523: 3 hits,
+        <=2 misses tolerated; here 2 hits — each hit already includes the
+        Sim3-refinement spatial check)."""
         m = self.map
         if len(m.kf_ids()) < 8:
             return False
         cand_info = self._detect(kf)
         if cand_info is None:
+            if self._pending is not None:
+                self._pending["misses"] += 1
+                if self._pending["misses"] > 2:
+                    self._pending = None
             return False
         cand, s12, R12, t12, n_matches = cand_info
+        region = set([cand] + m.covisible_kfs(cand, k=10, min_weight=1))
+        if self._pending is not None and (self._pending["region"] & region):
+            self._pending["hits"] += 1
+            self._pending["region"] |= region
+        else:
+            self._pending = {"region": region, "hits": 1, "misses": 0}
+        if self._pending["hits"] < self.required_hits:
+            return False
+        self._pending = None
         same_map = m.kf_map_id[cand] == m.kf_map_id[kf]
         if same_map:
             self._correct_loop(kf, cand, s12, R12, t12)

@@ -27,6 +27,9 @@ class SLAM:
     def __init__(self, cam: cameras.Camera, cfg: Optional[SlamConfig] = None,
                  imu_calib=None):
         self.cam = cam
+        # fisheye: extraction runs on raw images, geometry on undistorted
+        # keypoints under the virtual pinhole (Frame::UndistortKeyPoints)
+        self.geom_cam = cameras.pinhole_equivalent(cam)
         self.cfg = cfg or SlamConfig()
         mc = MapConfig(
             max_kf=self.cfg.max_kf,
@@ -48,13 +51,14 @@ class SLAM:
             from .optim import imu as imu_mod
             from .pipeline.imu_frontend import ImuFrontend
             self.imu = ImuFrontend(imu_calib or imu_mod.default_calib())
-        self.tracker = Tracker(cam, self.cfg, self.map, kfdb=self.kfdb,
+        self.tracker = Tracker(self.geom_cam, self.cfg, self.map, kfdb=self.kfdb,
                                imu=self.imu)
-        self.mapper = LocalMapper(cam, self.cfg, self.map, kfdb=self.kfdb)
+        self.mapper = LocalMapper(self.geom_cam, self.cfg, self.map, kfdb=self.kfdb)
         self.mapper.imu = self.imu
         self.mapper.kf_preint = self.tracker.kf_preint
         from .pipeline.loopcloser import LoopCloser
-        self.loopcloser = LoopCloser(cam, self.cfg, self.map, self.kfdb, self.mapper)
+        self.loopcloser = LoopCloser(self.geom_cam, self.cfg, self.map,
+                                     self.kfdb, self.mapper)
 
     # --------------------------------------------------------------- per-frame
     def feed_imu(self, samples) -> None:
@@ -77,6 +81,7 @@ class SLAM:
             ini_th=self.cfg.ini_th_fast,
             min_th=self.cfg.min_th_fast,
         )
+        feats = self._undistort(feats)
         return self.track_features(feats, timestamp)
 
     def track_stereo(self, img_left, img_right, timestamp: float) -> Optional[np.ndarray]:
@@ -100,6 +105,7 @@ class SLAM:
             scale=self.cfg.scale_factor,
         )
         fl = fl._replace(u_right=u_right, depth=depth)
+        fl = self._undistort(fl)
         return self.track_features(fl, timestamp)
 
     def track_rgbd(self, img, depth_map, timestamp: float) -> Optional[np.ndarray]:
@@ -115,7 +121,13 @@ class SLAM:
             self.cam, f, jnp.asarray(depth_map)
         )
         f = f._replace(u_right=u_right, depth=depth)
+        f = self._undistort(f)
         return self.track_features(f, timestamp)
+
+    def _undistort(self, feats):
+        if self.cam.kind == cameras.PINHOLE:
+            return feats
+        return feats._replace(xy=cameras.undistort_points(self.cam, feats.xy))
 
     def track_features(self, feats: frontend.Features, timestamp: float):
         """Entry point when features are produced externally (tests, stereo
