@@ -130,7 +130,8 @@ def _ic_angle_maps(P):
     x = P[:, None]  # (L,1,H,W)
     kern = jnp.stack([kx, ky])[:, None]  # (2,1,31,31)
     out = jax.lax.conv_general_dilated(
-        x, kern, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        x, kern, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.DEFAULT,
     )  # (L,2,H,W)
     return out[:, 0], out[:, 1]
 
@@ -141,10 +142,12 @@ def _batched_blur(P):
     x = jax.lax.conv_general_dilated(
         x, k[None, None, :, None], (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.DEFAULT,
     )
     x = jax.lax.conv_general_dilated(
         x, k[None, None, None, :], (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.DEFAULT,
     )
     return x[:, 0]
 
@@ -199,7 +202,8 @@ def _batched_descriptors(blurred, xs, ys, lvls, angles, shapes):
         jnp.round(angles / (2 * jnp.pi) * N_ROT_BINS).astype(jnp.int32) % N_ROT_BINS
     )
     onehot = jax.nn.one_hot(bidx, N_ROT_BINS, dtype=patches.dtype)
-    vals = jnp.einsum("nb,nbs->ns", onehot, g)
+    vals = jnp.einsum("nb,nbs->ns", onehot, g,
+                      precision=jax.lax.Precision.DEFAULT)
     v1, v2 = vals[:, :256], vals[:, 256:]
     bits = (v1 < v2).astype(jnp.uint32).reshape(-1, 8, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]

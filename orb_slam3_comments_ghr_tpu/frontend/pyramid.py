@@ -63,6 +63,7 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.DEFAULT,
     )
     # cols
     x = jax.lax.conv_general_dilated(
@@ -71,5 +72,6 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.DEFAULT,
     )
     return x[0, 0]

@@ -20,6 +20,9 @@ from typing import Optional
 
 import numpy as np
 
+# byte-popcount lookup for vectorized Hamming distances
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
 
 @dataclasses.dataclass
 class MapConfig:
@@ -267,40 +270,60 @@ class MapState:
     def update_point_geometry(self, ids: np.ndarray):
         """Recompute normal + scale-invariance distance band + distinctive
         descriptor (MapPoint::UpdateNormalAndDepth :146, ComputeDistinctive-
-        Descriptors :142) for the given points — vectorized numpy."""
+        Descriptors :142) for the given points — fully vectorized over the
+        padded observation table (no per-point Python loop)."""
         ids = np.asarray(ids, np.int64)
         if len(ids) == 0:
             return
         cfg = self.cfg
-        for m in ids:
-            obs_kf = self.mp_obs_kf[m]
-            mask = obs_kf >= 0
-            if not mask.any():
-                continue
-            kfs = obs_kf[mask]
-            idxs = self.mp_obs_idx[m][mask]
-            # normal: mean of unit vectors from camera centers
-            centers = -np.einsum("kji,kj->ki", self.kf_R[kfs], self.kf_t[kfs])
-            d = self.mp_pos[m][None] - centers
-            n = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
-            self.mp_normal[m] = n.mean(0) / max(np.linalg.norm(n.mean(0)), 1e-9)
-            # reference-KF distance band
-            ref = kfs[0]
-            ref_i = idxs[0]
-            dist = np.linalg.norm(d[0])
-            level = self.kf_feat_level[ref, ref_i]
-            sf = cfg.scale_factor
-            self.mp_max_dist[m] = dist * (sf ** level)
-            self.mp_min_dist[m] = self.mp_max_dist[m] / (sf ** (cfg.n_levels - 1))
-            # distinctive descriptor: min median Hamming to the others
-            descs = self.kf_feat_desc[kfs, idxs]  # (n,8) uint32
-            if len(descs) == 1:
-                self.mp_desc[m] = descs[0]
-            else:
-                bits = np.unpackbits(descs.view(np.uint8), axis=1)
-                dmat = (bits[:, None, :] != bits[None, :, :]).sum(-1)
-                med = np.median(dmat, axis=1)
-                self.mp_desc[m] = descs[int(np.argmin(med))]
+        D = cfg.obs_cap
+        obs_kf = self.mp_obs_kf[ids]            # (P, D)
+        obs_idx = self.mp_obs_idx[ids]
+        mask = obs_kf >= 0
+        any_obs = mask.any(axis=1)
+        ids = ids[any_obs]
+        if len(ids) == 0:
+            return
+        obs_kf = obs_kf[any_obs]
+        obs_idx = obs_idx[any_obs]
+        mask = mask[any_obs]
+        kf_safe = np.maximum(obs_kf, 0)
+        idx_safe = np.maximum(obs_idx, 0)
+
+        # normals: mean unit vector from observing camera centers
+        R = self.kf_R[kf_safe]                  # (P, D, 3, 3)
+        t = self.kf_t[kf_safe]
+        centers = -np.einsum("pdji,pdj->pdi", R, t)
+        d = self.mp_pos[ids][:, None, :] - centers            # (P, D, 3)
+        n = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+        n = np.where(mask[..., None], n, 0.0)
+        mean_n = n.sum(1) / np.maximum(mask.sum(1, keepdims=True), 1)
+        self.mp_normal[ids] = mean_n / np.maximum(
+            np.linalg.norm(mean_n, axis=-1, keepdims=True), 1e-9
+        )
+
+        # distance band from the FIRST observation slot
+        first = mask.argmax(axis=1)
+        ar = np.arange(len(ids))
+        ref_kf = obs_kf[ar, first]
+        ref_idx = obs_idx[ar, first]
+        dist = np.linalg.norm(d[ar, first], axis=-1)
+        level = self.kf_feat_level[ref_kf, ref_idx]
+        sf = cfg.scale_factor
+        self.mp_max_dist[ids] = dist * (sf ** level)
+        self.mp_min_dist[ids] = self.mp_max_dist[ids] / (sf ** (cfg.n_levels - 1))
+
+        # distinctive descriptor: min median Hamming among observations
+        descs = self.kf_feat_desc[kf_safe, idx_safe]          # (P, D, 8) u32
+        bytes_ = descs.view(np.uint8).reshape(len(ids), D, 32)
+        x = bytes_[:, :, None, :] ^ bytes_[:, None, :, :]     # (P, D, D, 32)
+        dmat = _POPCNT8[x].sum(-1).astype(np.float32)         # (P, D, D)
+        big = 1e9
+        dmat = np.where(mask[:, :, None] & mask[:, None, :], dmat, np.nan)
+        med = np.nanmedian(np.where(mask[:, :, None], dmat, np.nan), axis=2)
+        med = np.where(mask, np.nan_to_num(med, nan=big), big)
+        best = med.argmin(axis=1)
+        self.mp_desc[ids] = descs[ar, best]
 
     def predict_scale_level(self, dist, map_ids) -> np.ndarray:
         """Octave prediction from viewing distance (MapPoint::PredictScale)."""

@@ -414,17 +414,9 @@ class LocalMapper:
         obs_valid = np.zeros((P, D), bool)
         p_arr[: len(pts)] = m.mp_pos[pts]
         p_valid[: len(pts)] = True
-        for j, mp in enumerate(pts):
-            for s in range(D):
-                c = m.mp_obs_kf[mp, s]
-                if c < 0 or int(c) not in slot:
-                    continue
-                fi = m.mp_obs_idx[mp, s]
-                obs_cam[j, s] = slot[int(c)]
-                obs_uv[j, s] = m.kf_feat_xy[c, fi]
-                obs_ur[j, s] = m.kf_feat_ur[c, fi]
-                obs_level[j, s] = m.kf_feat_level[c, fi]
-                obs_valid[j, s] = True
+        obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
+            m, pts, slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
+        )
 
         prob = vi_ba.VIBAProblem(
             Rwb=jnp.asarray(Rwb), pwb=jnp.asarray(pwb),
@@ -505,17 +497,9 @@ class LocalMapper:
         obs_valid = np.zeros((P, D), bool)
         p[: len(pts)] = m.mp_pos[pts]
         p_valid[: len(pts)] = True
-        for j, mp in enumerate(pts):
-            for s in range(m.cfg.obs_cap):
-                c = m.mp_obs_kf[mp, s]
-                if c < 0 or int(c) not in cam_slot:
-                    continue
-                fi = m.mp_obs_idx[mp, s]
-                obs_cam[j, s] = cam_slot[int(c)]
-                obs_uv[j, s] = m.kf_feat_xy[c, fi]
-                obs_ur[j, s] = m.kf_feat_ur[c, fi]
-                obs_level[j, s] = m.kf_feat_level[c, fi]
-                obs_valid[j, s] = True
+        obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
+            m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
+        )
 
         prob = ba.BAProblem(
             cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
@@ -534,11 +518,11 @@ class LocalMapper:
             m.kf_t[c] = tn[i]
         m.mp_pos[pts] = pn[: len(pts)]
         # erase outlier observations (Optimizer.cc:2100-2160 post-pass)
-        for j, mp in enumerate(pts):
-            for s in range(m.cfg.obs_cap):
-                c = m.mp_obs_kf[mp, s]
-                if c >= 0 and int(c) in cam_slot and obs_valid[j, s] and not inlier[j, s]:
-                    m.remove_observation(int(mp), int(c))
+        bad = np.argwhere(obs_valid[: len(pts)] & ~inlier[: len(pts)])
+        for j, srow in bad:
+            c = m.mp_obs_kf[pts[j], srow]
+            if c >= 0:
+                m.remove_observation(int(pts[j]), int(c))
         m.version += 1
 
     # ------------------------------------------------------------- cull KFs
@@ -586,3 +570,26 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n,) + a.shape[1:], a.dtype)
     out[: len(a)] = a[:n]
     return out
+
+def _fill_obs_table(m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid):
+    """Vectorized observation-table fill: the SoA obs table indexes straight
+    into the problem arrays — no per-(point, slot) Python loop."""
+    p = len(pts)
+    if p == 0:
+        return obs_cam, obs_uv, obs_ur, obs_level, obs_valid
+    lookup = np.full(m.cfg.max_kf, -1, np.int32)
+    for c, i in cam_slot.items():
+        lookup[c] = i
+    kf_tab = m.mp_obs_kf[pts]            # (p, D)
+    idx_tab = m.mp_obs_idx[pts]
+    valid_tab = kf_tab >= 0
+    kf_safe = np.maximum(kf_tab, 0)
+    idx_safe = np.maximum(idx_tab, 0)
+    slots = np.where(valid_tab, lookup[kf_safe], -1)
+    use = valid_tab & (slots >= 0)
+    obs_cam[:p] = np.where(use, slots, 0)
+    obs_uv[:p] = np.where(use[..., None], m.kf_feat_xy[kf_safe, idx_safe], 0.0)
+    obs_ur[:p] = np.where(use, m.kf_feat_ur[kf_safe, idx_safe], -1.0)
+    obs_level[:p] = np.where(use, m.kf_feat_level[kf_safe, idx_safe], 0)
+    obs_valid[:p] = use
+    return obs_cam, obs_uv, obs_ur, obs_level, obs_valid

@@ -124,6 +124,47 @@ def track_against_points(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "extract_cam", "geom_cam", "n_features", "n_levels", "scale",
+        "ini_th", "min_th", "th", "undistort",
+    ),
+)
+def extract_and_track(
+    extract_cam: cameras.Camera,
+    geom_cam: cameras.Camera,
+    img: jnp.ndarray,
+    pts: LocalPoints,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    n_features: int = 1024,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    ini_th: float = 20.0,
+    min_th: float = 7.0,
+    th: float = 1.0,
+    undistort: bool = False,
+):
+    """THE per-frame fast path: ORB extraction + (optional fisheye
+    undistortion) + frustum-gated projection matching + pose LM, fused into
+    ONE device program — one dispatch per tracked frame instead of two-plus,
+    which matters when host<->device latency is nontrivial (remote-attached
+    TPUs). Returns (Features, TrackResult)."""
+    from ..frontend.batched import extract_batched
+
+    feats = extract_batched(
+        img, n_features=n_features, n_levels=n_levels, scale=scale,
+        ini_th=ini_th, min_th=min_th,
+    )
+    if undistort:
+        feats = feats._replace(xy=cameras.undistort_points(extract_cam, feats.xy))
+    res = track_against_points(
+        geom_cam, feats, pts, R0, t0, th=th, n_levels=n_levels, scale=scale
+    )
+    return feats, res
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def epipolar_match(
     cam: cameras.Camera,

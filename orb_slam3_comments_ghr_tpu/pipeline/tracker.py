@@ -90,9 +90,22 @@ class Tracker:
         self._rng = np.random.default_rng(0)
 
     # ---------------------------------------------------------------- public
-    def track(self, feats: frontend.Features, timestamp: float) -> Optional[np.ndarray]:
-        """Process one frame's features; returns 4x4 Tcw or None if lost."""
-        self.frame_id += 1
+    def prepare_frame(self, timestamp: float):
+        """Pre-compute what the fused per-frame program needs: timestamp
+        fault handling, IMU preintegration, pose prediction and the local
+        point view. Returns (ready, lp, ids, R0, t0): ready=False means the
+        caller must use the non-fused path (init / reloc / wide search)."""
+        self._run_frame_prologue(timestamp)
+        self._prepared_ts = timestamp
+        if self.state != OK or self.last_kf < 0:
+            return False, None, None, None, None
+        R0, t0 = self._predict_pose()
+        self._last_prediction = (R0.copy(), t0.copy())
+        lp, ids = self._local_points_view()
+        self._prepared = (lp, ids, R0, t0)
+        return True, lp, ids, jnp.asarray(R0), jnp.asarray(t0)
+
+    def _run_frame_prologue(self, timestamp: float):
         self.pending_kf = None
         self._pre_frame = None
         # input-fault handling (Tracking.cc:2039-2094): non-monotonic
@@ -107,6 +120,16 @@ class Tracker:
                 self._handle_lost()
         if self.imu is not None:
             self._pre_frame = self.imu.preintegrate_frame(timestamp)
+
+    def track(self, feats: frontend.Features, timestamp: float,
+              precomputed=None) -> Optional[np.ndarray]:
+        """Process one frame's features; returns 4x4 Tcw or None if lost.
+        `precomputed` is the (res,) of the fused program run against the
+        arrays from prepare_frame."""
+        self.frame_id += 1
+        if getattr(self, "_prepared_ts", None) != timestamp:
+            self._run_frame_prologue(timestamp)
+        self._precomputed = precomputed
         if self.state == NO_IMAGES_YET:
             self.state = NOT_INITIALIZED
 
@@ -422,15 +445,22 @@ class Tracker:
 
     def _track_frame(self, feats: frontend.Features, timestamp: float) -> bool:
         cfg = self.cfg
-        R0, t0 = self._predict_pose()
-        self._last_prediction = (R0.copy(), t0.copy())
-        lp, ids = self._local_points_view()
-        wide = self.state != OK
-        res = programs.track_against_points(
-            self.cam, feats, lp, jnp.asarray(R0), jnp.asarray(t0),
-            th=3.0 if wide else 1.0,
-            n_levels=cfg.n_levels, scale=cfg.scale_factor,
-        )
+        if self._precomputed is not None and self.state == OK:
+            res = self._precomputed[0]
+            lp, ids, R0, t0 = self._prepared
+            self._precomputed = None
+        else:
+            R0, t0 = self._predict_pose()
+            self._last_prediction = (R0.copy(), t0.copy())
+            lp, ids = self._local_points_view()
+            wide = self.state != OK
+            res = programs.track_against_points(
+                self.cam, feats, lp, jnp.asarray(R0), jnp.asarray(t0),
+                th=3.0 if wide else 1.0,
+                n_levels=cfg.n_levels, scale=cfg.scale_factor,
+            )
+        # ONE host<->device round trip for the whole result
+        res = programs.TrackResult(*jax.device_get(tuple(res)))
         n_inl = int(res.n_inliers)
         if n_inl < cfg.min_track_matches:
             return False

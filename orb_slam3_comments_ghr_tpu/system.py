@@ -26,6 +26,13 @@ from .utils.config import SlamConfig, MONOCULAR
 class SLAM:
     def __init__(self, cam: cameras.Camera, cfg: Optional[SlamConfig] = None,
                  imu_calib=None):
+        import jax
+
+        # Geometry/optimization runs in full f32: the TPU MXU's default
+        # bf16-input matmul path costs ~10x trajectory accuracy (measured
+        # ATE 8.6 cm -> sub-cm). The heavy integer/conv kernels are
+        # unaffected by this setting.
+        jax.config.update("jax_default_matmul_precision", "highest")
         self.cam = cam
         # fisheye: extraction runs on raw images, geometry on undistorted
         # keypoints under the virtual pinhole (Frame::UndistortKeyPoints)
@@ -73,8 +80,21 @@ class SLAM:
         (System::TrackMonocular, System.h:120)."""
         if imu_samples is not None:
             self.feed_imu(imu_samples)
+        from .pipeline import programs
+        img = jnp.asarray(img)
+        ready, lp, ids, R0, t0 = self.tracker.prepare_frame(timestamp)
+        if ready:
+            # fast path: extraction + matching + pose LM in ONE dispatch
+            feats, res = programs.extract_and_track(
+                self.cam, self.geom_cam, img, lp, R0, t0,
+                n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
+                scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
+                min_th=self.cfg.min_th_fast,
+                undistort=self.cam.kind != cameras.PINHOLE,
+            )
+            return self.track_features(feats, timestamp, precomputed=(res,))
         feats = frontend.extract(
-            jnp.asarray(img),
+            img,
             n_features=self.cfg.n_features,
             n_levels=self.cfg.n_levels,
             scale=self.cfg.scale_factor,
@@ -129,10 +149,11 @@ class SLAM:
             return feats
         return feats._replace(xy=cameras.undistort_points(self.cam, feats.xy))
 
-    def track_features(self, feats: frontend.Features, timestamp: float):
+    def track_features(self, feats: frontend.Features, timestamp: float,
+                       precomputed=None):
         """Entry point when features are produced externally (tests, stereo
         pipelines, benchmarking without the extractor)."""
-        pose = self.tracker.track(feats, timestamp)
+        pose = self.tracker.track(feats, timestamp, precomputed=precomputed)
         kf = self.tracker.pending_kf
         if kf is not None and self.n_keyframes() >= 2:
             self.mapper.process_keyframe(kf)
