@@ -68,6 +68,9 @@ def main():
 
     gt = synthetic.gt_trajectory(poses)
     ate = evaluation.ate_rmse(est, gt, with_scale=True)
+    from orb_slam3_comments_ghr_tpu.utils.profiling import GLOBAL_TIMER
+    stats = GLOBAL_TIMER.stats()
+    local_ba_ms = round(stats.get("local_ba", {}).get("p50_ms", 0.0), 1)
 
     print(
         json.dumps(
@@ -83,6 +86,7 @@ def main():
                     "keyframes": slam.n_keyframes(),
                     "map_points": slam.n_map_points(),
                     "platform": jax.devices()[0].platform,
+                    "local_ba_ms_per_kf_p50": local_ba_ms,
                 },
             }
         )

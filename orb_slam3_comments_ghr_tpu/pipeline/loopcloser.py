@@ -153,7 +153,49 @@ class LoopCloser:
         )
         if int(n2) < 20:
             return None
+        # guided projection growth over the candidate's covisible-window
+        # points (SearchByProjection/SearchBySim3, LoopClosing.cc:1062-1091):
+        # the refined S12 must re-project >= nProjMatches points of the loop
+        # region into the current keyframe
+        n_proj = self._count_projection_matches(kf, cand, float(s), np.asarray(R), np.asarray(t))
+        if n_proj < 40:
+            return None
         return float(s), np.asarray(R), np.asarray(t), int(n2)
+
+    def _count_projection_matches(self, kf: int, cand: int, s12, R12, t12) -> int:
+        """Project the candidate window's map points through S12 into the
+        current KF's camera and count window matches."""
+        m = self.map
+        window = [cand] + m.covisible_kfs(cand, k=10, min_weight=1)
+        pts = m.local_point_ids(window, cap=self.cfg.local_points_cap)
+        if len(pts) == 0:
+            return 0
+        # candidate-cam coords -> current-cam coords via S12, then express as
+        # world points for the CURRENT KF pose by undoing its Tcw
+        Xc_cam = m.mp_pos[pts] @ m.kf_R[cand].T + m.kf_t[cand]
+        Xq_cam = s12 * (Xc_cam @ R12.T) + t12
+        Rq, tq = m.kf_R[kf], m.kf_t[kf]
+        X_world = (Xq_cam - tq) @ Rq  # R^T (x - t)
+        # rotate viewing normals into the virtual world of the current KF
+        R_comb = Rq.T @ R12 @ m.kf_R[cand]
+        normals = m.mp_normal[pts] @ R_comb.T
+        cap = self.cfg.local_points_cap
+        lp = programs.LocalPoints(
+            pos=jnp.asarray(_pad(X_world.astype(np.float32), cap)),
+            desc=jnp.asarray(_pad(m.mp_desc[pts], cap)),
+            normal=jnp.asarray(_pad(normals.astype(np.float32), cap)),
+            min_dist=jnp.asarray(_pad(m.mp_min_dist[pts] * s12, cap)),
+            max_dist=jnp.asarray(_pad(m.mp_max_dist[pts] * s12, cap)),
+            valid=jnp.asarray(_pad(np.ones(len(pts), bool), cap)),
+        )
+        fidx, ok, existing = programs.fuse_project(
+            self.cam, jnp.asarray(Rq), jnp.asarray(tq), lp,
+            jnp.asarray(m.kf_feat_xy[kf]), jnp.asarray(m.kf_feat_level[kf]),
+            jnp.asarray(m.kf_feat_desc[kf]), jnp.asarray(m.kf_feat_valid[kf]),
+            jnp.asarray(m.kf_feat_mp[kf]),
+            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+        )
+        return int(np.asarray(ok)[: len(pts)].sum())
 
     # ----------------------------------------------------------- correction
     def _correct_loop(self, kf: int, cand: int, s12, R12, t12):

@@ -47,14 +47,20 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
-        self.cull_map_points(kf)
-        self.create_new_points(kf)
-        self.fuse_neighbors(kf)
+        from ..utils.profiling import GLOBAL_TIMER as T
+        with T.stage("mp_cull"):
+            self.cull_map_points(kf)
+        with T.stage("mp_create"):
+            self.create_new_points(kf)
+        with T.stage("fuse"):
+            self.fuse_neighbors(kf)
         if len(self.map.kf_ids()) > 2:
-            self.local_ba(kf)
+            with T.stage("local_ba"):
+                self.local_ba(kf)
         if self.imu is not None:
             self.maybe_initialize_imu(kf)
-        self.cull_keyframes(kf)
+        with T.stage("kf_cull"):
+            self.cull_keyframes(kf)
 
     def _merge_preintegrations(self, kf: int):
         """Preintegrated::MergePrevious (ImuTypes.cc:329): when a keyframe in

@@ -153,7 +153,9 @@ class SLAM:
                        precomputed=None):
         """Entry point when features are produced externally (tests, stereo
         pipelines, benchmarking without the extractor)."""
-        pose = self.tracker.track(feats, timestamp, precomputed=precomputed)
+        from .utils.profiling import GLOBAL_TIMER as _T
+        with _T.stage("track_map"):
+            pose = self.tracker.track(feats, timestamp, precomputed=precomputed)
         kf = self.tracker.pending_kf
         if kf is not None and self.n_keyframes() >= 2:
             self.mapper.process_keyframe(kf)
