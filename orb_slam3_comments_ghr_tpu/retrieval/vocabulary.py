@@ -148,3 +148,29 @@ def score_l1(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     (equivalent to 1 - 0.5|a-b|_1; ScoringObject.cpp L1Scoring). Broadcasts
     b over leading axes."""
     return np.minimum(a, b).sum(-1)
+
+
+def score_l2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """DBoW2 L2 score: 1 - 0.5*|a/|a| - b/|b||_2 ~ dot for unit vectors
+    (ScoringObject.cpp L2Scoring)."""
+    an = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    bn = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+    return (an * bn).sum(-1)
+
+
+def score_bhattacharyya(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """DBoW2 Bhattacharyya coefficient: sum_i sqrt(a_i b_i)."""
+    return np.sqrt(np.maximum(a * b, 0.0)).sum(-1)
+
+
+def score_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """DBoW2 dot-product scoring."""
+    return (a * b).sum(-1)
+
+
+SCORING = {
+    "l1": score_l1,
+    "l2": score_l2,
+    "bhattacharyya": score_bhattacharyya,
+    "dot": score_dot,
+}
