@@ -94,4 +94,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit one parseable line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "mono_slam_tracked_fps_1chip",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        raise

@@ -14,11 +14,13 @@ flash-attention style:
     (N, M) mask never exists in memory;
   * best/second-best + argmin are computed per query row in VMEM.
 
-Per 128-row tile the kernel touches 128*256 + M*256 int8 + small vectors —
-compute-bound on the MXU instead of HBM-bound on three big intermediates.
+Layout notes (Mosaic tiling): all per-element parameter vectors ride in
+lane-aligned (8, N) packed blocks — rows 0..4 of the query pack are
+u, v, radius, lvl_lo, lvl_hi; the target pack carries u, v, level, valid.
+Outputs are one (8, N) int32 pack: rows 0..2 = best_idx, best, second.
 
-Used by ops.matching.search_by_window on TPU when shapes fit; the XLA path
-remains as reference/fallback (CPU tests, odd shapes).
+Used by ops.matching window searches on TPU; the XLA path remains as
+reference/fallback (CPU tests, odd shapes).
 """
 
 from __future__ import annotations
@@ -34,10 +36,7 @@ TILE_N = 128
 BIG = 1 << 20  # plain int: jnp constants captured by kernels are rejected
 
 
-def _kernel(qd_ref, quv_ref, qrad_ref, qlo_ref, qhi_ref,
-            td_ref, txy_ref, tlvl_ref, tvalid_ref,
-            idx_ref, best_ref, second_ref):
-    # query tile
+def _kernel(qd_ref, qp_ref, td_ref, tp_ref, out_ref):
     A = qd_ref[:]                      # (TILE_N, 256) int8
     B = td_ref[:]                      # (M, 256) int8
     dot = jax.lax.dot_general(
@@ -45,34 +44,41 @@ def _kernel(qd_ref, quv_ref, qrad_ref, qlo_ref, qhi_ref,
     )                                  # (TILE_N, M)
     dist = (256 - dot) // 2
 
-    qu = quv_ref[:, 0:1]               # (TILE_N, 1)
-    qv = quv_ref[:, 1:2]
-    r = qrad_ref[:]                    # (TILE_N, 1)
-    lo = qlo_ref[:]
-    hi = qhi_ref[:]
-    tu = txy_ref[:, 0][None, :]        # (1, M)
-    tv = txy_ref[:, 1][None, :]
-    tl = tlvl_ref[:, 0][None, :]
-    tok = tvalid_ref[:, 0][None, :]
+    qp = qp_ref[:]                     # (8, TILE_N) f32
+    tp = tp_ref[:]                     # (8, M) f32
+    qu = qp[0][:, None]
+    qv = qp[1][:, None]
+    r = qp[2][:, None]
+    lo = qp[3][:, None]
+    hi = qp[4][:, None]
+    tu = tp[0][None, :]
+    tv = tp[1][None, :]
+    tl = tp[2][None, :]
+    tok = tp[3][None, :]
 
     mask = (
         (jnp.abs(qu - tu) < r)
         & (jnp.abs(qv - tv) < r)
         & (tl >= lo)
         & (tl <= hi)
-        & (tok > 0)
+        & (tok > 0.0)
     )
-    d = jnp.where(mask, dist, BIG)
+    # Mosaic index-reductions support float32 only; Hamming distances
+    # (<= 256) and the BIG sentinel are exactly representable
+    d = jnp.where(mask, dist, BIG).astype(jnp.float32)
 
     best = jnp.min(d, axis=1)
     bidx = jnp.argmin(d, axis=1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    d2 = jnp.where(cols == bidx[:, None], BIG, d)
+    d2 = jnp.where(cols == bidx[:, None], float(BIG), d)
     second = jnp.min(d2, axis=1)
 
-    idx_ref[:, 0] = bidx
-    best_ref[:, 0] = best
-    second_ref[:, 0] = second
+    # build the (8, TILE_N) pack without scatter (unsupported in Mosaic)
+    zeros = jnp.zeros((5, TILE_N), jnp.int32)
+    out_ref[:] = jnp.concatenate(
+        [bidx[None, :], best.astype(jnp.int32)[None, :],
+         second.astype(jnp.int32)[None, :], zeros], axis=0
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -93,39 +99,29 @@ def window_match_tpu(
     assert n % TILE_N == 0, "pad queries to a multiple of 128"
     grid = (n // TILE_N,)
 
-    out_shape = (
-        jax.ShapeDtypeStruct((n, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n, 1), jnp.int32),
-    )
-    idx, best, second = pl.pallas_call(
+    qpack = jnp.zeros((8, n), jnp.float32)
+    qpack = qpack.at[0].set(q_uv[:, 0]).at[1].set(q_uv[:, 1])
+    qpack = qpack.at[2].set(q_radius).at[3].set(q_lvl_lo).at[4].set(q_lvl_hi)
+    tpack = jnp.zeros((8, m), jnp.float32)
+    tpack = tpack.at[0].set(t_xy[:, 0]).at[1].set(t_xy[:, 1])
+    tpack = tpack.at[2].set(t_level.astype(jnp.float32))
+    tpack = tpack.at[3].set(t_valid.astype(jnp.float32))
+
+    out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_N, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shape,
+        out_specs=pl.BlockSpec((8, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * 256, bytes_accessed=(n + m) * 256 + n * m // 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        qdesc_pm1, q_uv, q_radius[:, None], q_lvl_lo[:, None], q_lvl_hi[:, None],
-        tdesc_pm1, t_xy, t_level[:, None].astype(jnp.float32),
-        t_valid[:, None].astype(jnp.float32),
-    )
-    return idx[:, 0], best[:, 0], second[:, 0]
+    )(qdesc_pm1, qpack, tdesc_pm1, tpack)
+    return out[0], out[1], out[2]
