@@ -75,7 +75,8 @@ def _frustum_gate(cam, R, t, pts: LocalPoints, n_levels: int, scale: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "n_levels", "scale", "th", "iters_per_round")
+    jax.jit,
+    static_argnames=("cam", "n_levels", "scale", "th", "iters_per_round", "use_pallas"),
 )
 def track_against_points(
     cam: cameras.Camera,
@@ -87,24 +88,44 @@ def track_against_points(
     n_levels: int = 8,
     scale: float = 1.2,
     iters_per_round: int = 10,
+    use_pallas: bool = False,
 ) -> TrackResult:
     visible, uv_pred, level_pred, radius = _frustum_gate(
         cam, R0, t0, pts, n_levels, scale
     )
-    mask = matching.window_mask(
-        uv_pred,
-        level_pred,
-        feats.xy,
-        feats.level,
-        feats.valid,
-        radius * th,
-        level_lo=level_pred - 1,
-        level_hi=level_pred + 1,
-    )
-    mask = mask & visible[:, None]
-    idx, dist, ok = matching.search_by_window(
-        pts.desc, feats.desc, mask, th=matching.TH_HIGH, ratio=0.8
-    )
+    if use_pallas and pts.pos.shape[0] % 128 == 0:
+        # fused Mosaic kernel: Hamming MXU contraction + in-kernel window
+        # mask + top-2, no (L, N) intermediates in HBM (ops/pallas_match)
+        from ..ops import pallas_match
+
+        idx, best, second = pallas_match.window_match_tpu(
+            matching.unpack_pm1(pts.desc),
+            uv_pred,
+            jnp.where(visible, radius * th, -1.0),
+            (level_pred - 1).astype(jnp.float32),
+            (level_pred + 1).astype(jnp.float32),
+            matching.unpack_pm1(feats.desc),
+            feats.xy,
+            feats.level.astype(jnp.float32),
+            feats.valid.astype(jnp.float32),
+        )
+        dist = best
+        ok = matching.ratio_test(best, second, matching.TH_HIGH, 0.8)
+    else:
+        mask = matching.window_mask(
+            uv_pred,
+            level_pred,
+            feats.xy,
+            feats.level,
+            feats.valid,
+            radius * th,
+            level_lo=level_pred - 1,
+            level_hi=level_pred + 1,
+        )
+        mask = mask & visible[:, None]
+        idx, dist, ok = matching.search_by_window(
+            pts.desc, feats.desc, mask, th=matching.TH_HIGH, ratio=0.8
+        )
     ok = matching.resolve_duplicates(idx, dist, ok, feats.xy.shape[0])
 
     obs = pose_opt.PoseObs(
@@ -128,7 +149,7 @@ def track_against_points(
     jax.jit,
     static_argnames=(
         "extract_cam", "geom_cam", "n_features", "n_levels", "scale",
-        "ini_th", "min_th", "th", "undistort",
+        "ini_th", "min_th", "th", "undistort", "use_pallas",
     ),
 )
 def extract_and_track(
@@ -145,6 +166,7 @@ def extract_and_track(
     min_th: float = 7.0,
     th: float = 1.0,
     undistort: bool = False,
+    use_pallas: bool = False,
 ):
     """THE per-frame fast path: ORB extraction + (optional fisheye
     undistortion) + frustum-gated projection matching + pose LM, fused into
@@ -160,7 +182,8 @@ def extract_and_track(
     if undistort:
         feats = feats._replace(xy=cameras.undistort_points(extract_cam, feats.xy))
     res = track_against_points(
-        geom_cam, feats, pts, R0, t0, th=th, n_levels=n_levels, scale=scale
+        geom_cam, feats, pts, R0, t0, th=th, n_levels=n_levels, scale=scale,
+        use_pallas=use_pallas,
     )
     return feats, res
 

@@ -33,6 +33,8 @@ class SLAM:
         # ATE 8.6 cm -> sub-cm). The heavy integer/conv kernels are
         # unaffected by this setting.
         jax.config.update("jax_default_matmul_precision", "highest")
+        # fused Mosaic matching kernel on real TPUs (XLA path elsewhere)
+        self.use_pallas = jax.default_backend() == "tpu"
         self.cam = cam
         # fisheye: extraction runs on raw images, geometry on undistorted
         # keypoints under the virtual pinhole (Frame::UndistortKeyPoints)
@@ -91,6 +93,7 @@ class SLAM:
                 scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
                 min_th=self.cfg.min_th_fast,
                 undistort=self.cam.kind != cameras.PINHOLE,
+                use_pallas=self.use_pallas,
             )
             return self.track_features(feats, timestamp, precomputed=(res,))
         feats = frontend.extract(
