@@ -40,7 +40,10 @@ def _kernel(qd_ref, qp_ref, td_ref, tp_ref, out_ref):
     A = qd_ref[:]                      # (TILE_N, 256) int8
     B = td_ref[:]                      # (M, 256) int8
     dot = jax.lax.dot_general(
-        A, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        A, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        # int8 MXU path: must not inherit a global 'highest' (fp32) matmul
+        # precision — Mosaic rejects fp32-contract int8 matmuls
+        precision=jax.lax.Precision.DEFAULT,
     )                                  # (TILE_N, M)
     dist = (256 - dot) // 2
 
