@@ -53,7 +53,10 @@ def hamming_matrix_mxu(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
     A = unpack_pm1(da)
     B = unpack_pm1(db)
     dot = jax.lax.dot_general(
-        A, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        A, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        # integer contraction: keep the int8 MXU path even when the global
+        # matmul precision is 'highest' (which would force a f32 conversion)
+        precision=jax.lax.Precision.DEFAULT,
     )
     return (256 - dot) // 2
 
