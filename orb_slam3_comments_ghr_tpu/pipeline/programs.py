@@ -188,6 +188,57 @@ def extract_and_track(
     return feats, res
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "extract_cam", "geom_cam", "n_features", "n_levels", "scale",
+        "ini_th", "min_th", "th", "undistort", "use_pallas",
+    ),
+)
+def extract_and_track_stereo(
+    extract_cam: cameras.Camera,
+    geom_cam: cameras.Camera,
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    pts: LocalPoints,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    n_features: int = 1024,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    ini_th: float = 20.0,
+    min_th: float = 7.0,
+    th: float = 1.0,
+    undistort: bool = False,
+    use_pallas: bool = False,
+):
+    """Stereo per-frame fast path: both extractions + row-constrained stereo
+    matching + projection matching + pose LM in ONE device program."""
+    from ..frontend.batched import extract_batched
+    from ..frontend import stereo as stereo_mod
+
+    fl = extract_batched(
+        img_l, n_features=n_features, n_levels=n_levels, scale=scale,
+        ini_th=ini_th, min_th=min_th,
+    )
+    fr = extract_batched(
+        img_r, n_features=n_features, n_levels=n_levels, scale=scale,
+        ini_th=ini_th, min_th=min_th,
+    )
+    u_right, depth = stereo_mod.stereo_match(
+        extract_cam, fl, fr, img_l.astype(jnp.float32), img_r.astype(jnp.float32),
+        scale=scale,
+    )
+    fl = fl._replace(u_right=u_right, depth=depth)
+    if undistort:
+        fl = fl._replace(xy=cameras.undistort_points(extract_cam, fl.xy))
+    res = track_against_points(
+        geom_cam, fl, pts, R0, t0, th=th, n_levels=n_levels, scale=scale,
+        use_pallas=use_pallas,
+    )
+    return fl, res
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def epipolar_match(
     cam: cameras.Camera,

@@ -107,12 +107,27 @@ class SLAM:
         feats = self._undistort(feats)
         return self.track_features(feats, timestamp)
 
-    def track_stereo(self, img_left, img_right, timestamp: float) -> Optional[np.ndarray]:
+    def track_stereo(self, img_left, img_right, timestamp: float,
+                     imu_samples=None) -> Optional[np.ndarray]:
         """Rectified stereo pair (System::TrackStereo, System.h:109)."""
         from .frontend import stereo as stereo_mod
+        from .pipeline import programs
 
+        if imu_samples is not None:
+            self.feed_imu(imu_samples)
         img_l = jnp.asarray(img_left)
         img_r = jnp.asarray(img_right)
+        ready, lp, ids, R0, t0 = self.tracker.prepare_frame(timestamp)
+        if ready:
+            fl, res = programs.extract_and_track_stereo(
+                self.cam, self.geom_cam, img_l, img_r, lp, R0, t0,
+                n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
+                scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
+                min_th=self.cfg.min_th_fast,
+                undistort=self.cam.kind != cameras.PINHOLE,
+                use_pallas=self.use_pallas,
+            )
+            return self.track_features(fl, timestamp, precomputed=(res,))
         fl = frontend.extract(
             img_l, n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
             scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
