@@ -68,6 +68,7 @@ class SLAM:
         from .pipeline.loopcloser import LoopCloser
         self.loopcloser = LoopCloser(self.geom_cam, self.cfg, self.map,
                                      self.kfdb, self.mapper)
+        self._empty_lp = None
 
     # --------------------------------------------------------------- per-frame
     def feed_imu(self, samples) -> None:
@@ -77,6 +78,19 @@ class SLAM:
             raise RuntimeError("feed_imu requires an IMU_* sensor config")
         self.imu.feed(samples)
 
+    def _dummy_local_points(self):
+        """Empty local-point view so the fused program is the ONLY extractor
+        compile (init/reloc frames ignore its track result)."""
+        if self._empty_lp is None:
+            from .pipeline import programs
+            L = self.cfg.local_points_cap
+            self._empty_lp = programs.LocalPoints(
+                pos=jnp.zeros((L, 3)), desc=jnp.zeros((L, 8), jnp.uint32),
+                normal=jnp.zeros((L, 3)), min_dist=jnp.ones((L,)),
+                max_dist=jnp.ones((L,)), valid=jnp.zeros((L,), bool),
+            )
+        return self._empty_lp
+
     def track_monocular(self, img, timestamp: float, imu_samples=None) -> Optional[np.ndarray]:
         """img: (H,W) grayscale array. Returns 4x4 Tcw or None
         (System::TrackMonocular, System.h:120)."""
@@ -85,32 +99,27 @@ class SLAM:
         from .pipeline import programs
         img = jnp.asarray(img)
         ready, lp, ids, R0, t0 = self.tracker.prepare_frame(timestamp)
-        if ready:
-            # fast path: extraction + matching + pose LM in ONE dispatch
-            feats, res = programs.extract_and_track(
-                self.cam, self.geom_cam, img, lp, R0, t0,
-                n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
-                scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
-                min_th=self.cfg.min_th_fast,
-                undistort=self.cam.kind != cameras.PINHOLE,
-                use_pallas=self.use_pallas,
-            )
-            return self.track_features(feats, timestamp, precomputed=(res,))
-        feats = frontend.extract(
-            img,
-            n_features=self.cfg.n_features,
-            n_levels=self.cfg.n_levels,
-            scale=self.cfg.scale_factor,
-            ini_th=self.cfg.ini_th_fast,
+        if not ready:
+            lp = self._dummy_local_points()
+            R0 = jnp.eye(3)
+            t0 = jnp.zeros(3)
+        # extraction + matching + pose LM in ONE dispatch (on init/reloc
+        # frames the dummy point set makes the track half a cheap no-op)
+        feats, res = programs.extract_and_track(
+            self.cam, self.geom_cam, img, lp, R0, t0,
+            n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
+            scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
             min_th=self.cfg.min_th_fast,
+            undistort=self.cam.kind != cameras.PINHOLE,
+            use_pallas=self.use_pallas,
         )
-        feats = self._undistort(feats)
-        return self.track_features(feats, timestamp)
+        return self.track_features(
+            feats, timestamp, precomputed=(res,) if ready else None
+        )
 
     def track_stereo(self, img_left, img_right, timestamp: float,
                      imu_samples=None) -> Optional[np.ndarray]:
         """Rectified stereo pair (System::TrackStereo, System.h:109)."""
-        from .frontend import stereo as stereo_mod
         from .pipeline import programs
 
         if imu_samples is not None:
@@ -118,33 +127,21 @@ class SLAM:
         img_l = jnp.asarray(img_left)
         img_r = jnp.asarray(img_right)
         ready, lp, ids, R0, t0 = self.tracker.prepare_frame(timestamp)
-        if ready:
-            fl, res = programs.extract_and_track_stereo(
-                self.cam, self.geom_cam, img_l, img_r, lp, R0, t0,
-                n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
-                scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
-                min_th=self.cfg.min_th_fast,
-                undistort=self.cam.kind != cameras.PINHOLE,
-                use_pallas=self.use_pallas,
-            )
-            return self.track_features(fl, timestamp, precomputed=(res,))
-        fl = frontend.extract(
-            img_l, n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
+        if not ready:
+            lp = self._dummy_local_points()
+            R0 = jnp.eye(3)
+            t0 = jnp.zeros(3)
+        fl, res = programs.extract_and_track_stereo(
+            self.cam, self.geom_cam, img_l, img_r, lp, R0, t0,
+            n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
             scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
             min_th=self.cfg.min_th_fast,
+            undistort=self.cam.kind != cameras.PINHOLE,
+            use_pallas=self.use_pallas,
         )
-        fr = frontend.extract(
-            img_r, n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
-            scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
-            min_th=self.cfg.min_th_fast,
+        return self.track_features(
+            fl, timestamp, precomputed=(res,) if ready else None
         )
-        u_right, depth = stereo_mod.stereo_match(
-            self.cam, fl, fr, img_l.astype(jnp.float32), img_r.astype(jnp.float32),
-            scale=self.cfg.scale_factor,
-        )
-        fl = fl._replace(u_right=u_right, depth=depth)
-        fl = self._undistort(fl)
-        return self.track_features(fl, timestamp)
 
     def track_rgbd(self, img, depth_map, timestamp: float) -> Optional[np.ndarray]:
         """RGB-D frame (System::TrackRGBD, System.h:114)."""
