@@ -320,7 +320,11 @@ class MapState:
         dmat = _POPCNT8[x].sum(-1).astype(np.float32)         # (P, D, D)
         big = 1e9
         dmat = np.where(mask[:, :, None] & mask[:, None, :], dmat, np.nan)
-        med = np.nanmedian(np.where(mask[:, :, None], dmat, np.nan), axis=2)
+        import warnings
+        with warnings.catch_warnings():
+            # single-observation points produce all-NaN rows by design
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = np.nanmedian(np.where(mask[:, :, None], dmat, np.nan), axis=2)
         med = np.where(mask, np.nan_to_num(med, nan=big), big)
         best = med.argmin(axis=1)
         self.mp_desc[ids] = descs[ar, best]
