@@ -216,7 +216,14 @@ def bundle_adjust(
 
     The iteration count is a static cap like the reference's
     optimizer.optimize(10) calls; early-exit-on-abort (mbAbortBA) is the
-    host's job — it simply doesn't dispatch the next call."""
+    host's job — it simply doesn't dispatch the next call. Traced under
+    matmul precision 'highest' (estimation accuracy beats MXU throughput
+    for these small dense systems)."""
+    with jax.default_matmul_precision("highest"):
+        return _bundle_adjust_body(cam, prob, iters, use_huber)
+
+
+def _bundle_adjust_body(cam, prob, iters, use_huber):
     K = prob.cam_R.shape[0]
     R, t, p = prob.cam_R, prob.cam_t, prob.p
 

@@ -180,7 +180,12 @@ def _total_cost(cam, prob, Rwb, pwb, vel, bias, p, use_huber):
 def vi_bundle_adjust(cam: cameras.Camera, prob: VIBAProblem, iters: int = 10,
                      use_huber: bool = True):
     """LM over (body states, landmarks). Returns (Rwb, pwb, vel, bias, p,
-    obs_inlier, cost)."""
+    obs_inlier, cost). Traced at matmul precision 'highest'."""
+    with jax.default_matmul_precision("highest"):
+        return _vi_ba_body(cam, prob, iters, use_huber)
+
+
+def _vi_ba_body(cam, prob, iters, use_huber):
     K = prob.Rwb.shape[0]
     eye15 = jnp.eye(CDIM)
 

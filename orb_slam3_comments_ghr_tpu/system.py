@@ -28,11 +28,6 @@ class SLAM:
                  imu_calib=None):
         import jax
 
-        # Geometry/optimization runs in full f32: the TPU MXU's default
-        # bf16-input matmul path costs ~10x trajectory accuracy (measured
-        # ATE 8.6 cm -> sub-cm). The heavy integer/conv kernels are
-        # unaffected by this setting.
-        jax.config.update("jax_default_matmul_precision", "highest")
         # fused Mosaic matching kernel on real TPUs (XLA path elsewhere)
         self.use_pallas = jax.default_backend() == "tpu"
         self.cam = cam
