@@ -180,8 +180,8 @@ def _total_cost(cam, prob, Rwb, pwb, vel, bias, p, use_huber):
 def vi_bundle_adjust(cam: cameras.Camera, prob: VIBAProblem, iters: int = 10,
                      use_huber: bool = True):
     """LM over (body states, landmarks). Returns (Rwb, pwb, vel, bias, p,
-    obs_inlier, cost). Traced at matmul precision 'highest'."""
-    with jax.default_matmul_precision("highest"):
+    obs_inlier, cost). Traced at matmul precision 'high' (bf16_3x)."""
+    with jax.default_matmul_precision("high"):
         return _vi_ba_body(cam, prob, iters, use_huber)
 
 
