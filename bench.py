@@ -38,6 +38,7 @@ def main():
         local_ba_points=2048,
         max_frames_between_kf=10,
         min_init_matches=60,
+        async_mapping=True,   # pipeline parallelism: BA overlaps tracking
     )
     n_frames = 80
     scene = synthetic.make_textured_scene(7)

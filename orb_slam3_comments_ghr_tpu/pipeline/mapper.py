@@ -42,6 +42,7 @@ class LocalMapper:
         self.kf_preint: dict[int, object] = {}
         self.t_imu_init: float | None = None
         self.map_transformed = False  # set when apply_transform rescaled the map
+        self.last_transform = None    # (s, R, t) of the latest world transform
         self.viba1_done = False
         self.viba2_done = False
 
@@ -166,6 +167,7 @@ class LocalMapper:
             Rgw = np.asarray(Rwg).T
             m.apply_transform(mid, s, Rgw, np.zeros(3, np.float32))
             self.map_transformed = True
+            self.last_transform = (s, Rgw, np.zeros(3, np.float32))
             self.imu.bias = np.asarray(bias)
             m.map_imu_init[mid] = True
             self.t_imu_init = float(t_now)
@@ -204,6 +206,7 @@ class LocalMapper:
                         Rgw = np.asarray(Rwg).T
                         m.apply_transform(mid, s, Rgw, np.zeros(3, np.float32))
                         self.map_transformed = True
+                        self.last_transform = (s, Rgw, np.zeros(3, np.float32))
                     self.last_scale_refine_t = float(t_now)
             return
         win = self._build_inertial_window(chain)

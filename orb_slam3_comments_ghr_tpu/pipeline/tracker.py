@@ -189,6 +189,18 @@ class Tracker:
         T_cr = T_cw @ np.linalg.inv(T_rw)
         self.records.append(FrameRecord(timestamp, ref, T_cr, lost))
 
+    def apply_world_transform(self, s: float, R: np.ndarray, t: np.ndarray):
+        """Reconcile the tracker's live pose after an asynchronous map
+        transform (IMU-init gravity/scale alignment): world' = s R world + t.
+        Camera center moves with the world; Rcw' = Rcw R^T."""
+        c = -self.last_R.T @ self.last_t
+        c2 = (s * (R @ c) + t).astype(np.float32)
+        Rcw2 = (self.last_R @ R.T).astype(np.float32)
+        self.last_R = Rcw2
+        self.last_t = (-Rcw2 @ c2).astype(np.float32)
+        self.body_vel = (s * (R @ self.body_vel)).astype(np.float32)
+        self.velocity = None
+
     def _register_kf(self, kf: int):
         if self.kfdb is not None:
             m = self.map

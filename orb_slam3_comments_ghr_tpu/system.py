@@ -64,6 +64,16 @@ class SLAM:
         self.loopcloser = LoopCloser(self.geom_cam, self.cfg, self.map,
                                      self.kfdb, self.mapper)
         self._empty_lp = None
+        self._map_queue = None
+        self._map_worker = None
+        if self.cfg.async_mapping:
+            import queue as _q
+            import threading
+            self._map_queue = _q.Queue(maxsize=3)  # backpressure (P5)
+            self._map_worker = threading.Thread(
+                target=self._mapping_worker, daemon=True
+            )
+            self._map_worker.start()
 
     # --------------------------------------------------------------- per-frame
     def feed_imu(self, samples) -> None:
@@ -164,10 +174,20 @@ class SLAM:
         """Entry point when features are produced externally (tests, stereo
         pipelines, benchmarking without the extractor)."""
         from .utils.profiling import GLOBAL_TIMER as _T
+
+        # deferred world-transform reconciliation from the async mapper
+        if self._map_queue is not None and self.mapper.map_transformed:
+            self.mapper.map_transformed = False
+            tr = self.mapper.last_transform
+            if tr is not None:
+                self.tracker.apply_world_transform(*tr)
         with _T.stage("track_map"):
             pose = self.tracker.track(feats, timestamp, precomputed=precomputed)
         kf = self.tracker.pending_kf
         if kf is not None and self.n_keyframes() >= 2:
+            if self._map_queue is not None:
+                self._map_queue.put(kf)  # blocks when 3 KFs queued (P5)
+                return pose
             self.mapper.process_keyframe(kf)
             if self.mapper.map_transformed:
                 # IMU init rescaled/rotated the world: re-seat the tracker
@@ -184,6 +204,30 @@ class SLAM:
                     self.tracker.last_t = self.map.kf_t[kf].copy()
                     self.tracker.velocity = None
         return pose
+
+    def _mapping_worker(self):
+        """Background LocalMapping/LoopClosing consumer — the reference's
+        pipeline parallelism (SURVEY §2.3 P1) as a host thread; device work
+        releases the GIL so tracking overlaps mapping."""
+        import traceback
+
+        while True:
+            kf = self._map_queue.get()
+            if kf is None:
+                return
+            try:
+                self.mapper.process_keyframe(kf)
+                if self.cfg.enable_loop_closing:
+                    self.loopcloser.process_keyframe(kf)
+            except Exception:
+                traceback.print_exc()
+            finally:
+                self._map_queue.task_done()
+
+    def wait_idle(self):
+        """Drain the async mapping queue (Shutdown's spin-wait analog)."""
+        if self._map_queue is not None:
+            self._map_queue.join()
 
     # --------------------------------------------------------------- queries
     @property

@@ -45,6 +45,9 @@ class SlamConfig:
     # stereo
     depth_th_factor: float = 35.0         # ThDepth: close-point gate = bf/fx * factor
     enable_loop_closing: bool = True
+    async_mapping: bool = False          # LocalMapping/LoopClosing in a worker
+                                         # thread (the reference's pipeline
+                                         # parallelism); off = deterministic
     # recovery (5.3)
     recently_lost_secs: float = 5.0
 
