@@ -70,6 +70,8 @@ def main():
     fps_p25 = 1.0 / max(p25, 1e-9)  # best-quartile: capability when the
     # shared remote-TPU tunnel is uncontended
 
+    if hasattr(slam, "wait_idle"):
+        slam.wait_idle()  # drain async mapping before scoring
     gt = synthetic.gt_trajectory(poses)
     ate = evaluation.ate_rmse(est, gt, with_scale=True)
     from orb_slam3_comments_ghr_tpu.utils.profiling import GLOBAL_TIMER

@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--gt", default=None, help="TUM-format ground truth for ATE")
     ap.add_argument("--n-features", type=int, default=1024)
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viz", default=None,
+                    help="directory for map/frame PNG renders (Viewer analog)")
     args = ap.parse_args(argv)
 
     from ..ops import cameras
@@ -73,7 +75,14 @@ def main(argv=None):
             n_tracked += 1
     wall = time.perf_counter() - t0
 
+    if hasattr(slam, "wait_idle"):
+        slam.wait_idle()
     slam.save_trajectory_tum(args.out)
+    if args.viz:
+        import os as _os
+        from ..utils import viz
+        _os.makedirs(args.viz, exist_ok=True)
+        viz.draw_map(slam.map, path=_os.path.join(args.viz, "map.png"))
     result = {
         "frames": len(ds), "tracked": n_tracked,
         "fps": round(len(ds) / max(wall, 1e-9), 2),
