@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import lie, cameras
 from ..optim import ba, robust
@@ -72,7 +72,6 @@ def bundle_adjust_sharded(
         mesh=mesh,
         in_specs=(in_specs,),
         out_specs=(rep, rep, point_spec, point_spec, rep),
-        check_rep=False,
     )
     def run(p: ba.BAProblem):
         R, t, pts = p.cam_R, p.cam_t, p.p
