@@ -68,6 +68,18 @@ class LoopCloser:
             return False
         self._pending = None
         same_map = m.kf_map_id[cand] == m.kf_map_id[kf]
+        # inertial acceptance gates (LoopClosing.cc:171-198, :287-311):
+        # merges must not change scale by >10%; loops must keep gravity —
+        # roll/pitch of the correction < 0.008 rad (yaw is free)
+        if self.cfg.is_inertial and m.map_imu_init.get(int(m.kf_map_id[kf]), False):
+            if not same_map and not (0.9 <= s12 <= 1.1):
+                return False
+            if same_map:
+                from ..ops import lie as _lie
+                import jax.numpy as _jnp
+                rot = np.asarray(_lie.so3_log(_jnp.asarray(R12)))
+                if abs(rot[0]) > 0.008 or abs(rot[1]) > 0.008:
+                    return False
         if same_map:
             self._correct_loop(kf, cand, s12, R12, t12)
             self.n_loops += 1

@@ -45,6 +45,7 @@ class LocalMapper:
         self.last_transform = None    # (s, R, t) of the latest world transform
         self.viba1_done = False
         self.viba2_done = False
+        self.bad_imu = False  # mbBadImu (consumed by the system/tracker)
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
@@ -157,7 +158,13 @@ class LocalMapper:
             )
             s = float(s)
             if s < 0.1:
-                return  # insufficient excitation (LocalMapping.cc:1680)
+                # insufficient excitation (LocalMapping.cc:1680); after
+                # repeated failures flag bad IMU so the tracker can reset the
+                # active map (mbBadImu, LocalMapping.cc:189-199)
+                self._imu_init_failures = getattr(self, "_imu_init_failures", 0) + 1
+                if self._imu_init_failures > 10:
+                    self.bad_imu = True
+                return
             # record velocities in the CURRENT (visual) frame, then gravity-
             # align + rescale the whole map (Map::ApplyScaledRotation):
             # world' = s * Rwg^T * world  => gravity becomes -z, scale metric
