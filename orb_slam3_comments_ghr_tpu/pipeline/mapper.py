@@ -265,14 +265,12 @@ class LocalMapper:
         neighbors = m.covisible_kfs(kf, k=cfg.triangulation_neighbors, min_weight=5)
         if not neighbors:
             return
-        desc1 = jnp.asarray(m.kf_feat_desc[kf])
-        xy1 = jnp.asarray(m.kf_feat_xy[kf])
-        level1 = jnp.asarray(m.kf_feat_level[kf])
         R1, t1 = m.kf_R[kf], m.kf_t[kf]
         c1 = -R1.T @ t1
 
+        # baseline gate per neighbor (mono: baseline/medianDepth > 0.01)
+        usable = []
         for nb in neighbors:
-            # baseline gate (mono: baseline/medianDepth > 0.01)
             R2, t2 = m.kf_R[nb], m.kf_t[nb]
             c2 = -R2.T @ t2
             baseline = np.linalg.norm(c1 - c2)
@@ -282,45 +280,53 @@ class LocalMapper:
                 continue
             depths = (m.mp_pos[mp_ids] @ R2.T + t2)[:, 2]
             med_depth = float(np.median(depths)) if len(depths) else 1.0
-            if baseline / max(med_depth, 1e-6) < 0.01:
-                continue
+            if baseline / max(med_depth, 1e-6) >= 0.01:
+                usable.append(nb)
+        if not usable:
+            return
 
-            free1 = jnp.asarray(m.kf_feat_valid[kf] & (m.kf_feat_mp[kf] < 0))
-            free2 = jnp.asarray(m.kf_feat_valid[nb] & (m.kf_feat_mp[nb] < 0))
-            # relative pose: x_kf = R12 x_nb + t12 with R12 = R1 R2^T
-            R12 = R1 @ R2.T
-            t12 = t1 - R12 @ t2
-            idx, ok = programs.epipolar_match(
-                self.cam,
-                desc1, xy1, level1, free1,
-                jnp.asarray(m.kf_feat_desc[nb]), jnp.asarray(m.kf_feat_xy[nb]),
-                jnp.asarray(m.kf_feat_level[nb]), free2,
-                jnp.asarray(R12), jnp.asarray(t12),
-            )
-            idx_np = np.asarray(idx)
-            ok_np = np.asarray(ok)
-            if not ok_np.any():
-                continue
-            X, good = programs.triangulate_matches(
-                self.cam,
-                jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2), jnp.asarray(t2),
-                xy1, jnp.asarray(m.kf_feat_xy[nb])[idx],
-                level1, jnp.asarray(m.kf_feat_level[nb])[idx],
-                ok,
-                jnp.asarray(m.kf_feat_ur[kf]), jnp.asarray(m.kf_feat_ur[nb])[idx],
-                scale=cfg.scale_factor,
-            )
-            good_np = np.asarray(good)
-            X_np = np.asarray(X)
+        # ONE device program for all neighbors (padded to the static cap)
+        B = cfg.triangulation_neighbors
+        usable = usable[:B]
+        nbs = (usable + [usable[-1]] * B)[:B]
+        active = np.zeros(B, bool)
+        active[: len(usable)] = True
+        nbs_arr = np.asarray(nbs)
+        free1 = m.kf_feat_valid[kf] & (m.kf_feat_mp[kf] < 0)
+        free2s = m.kf_feat_valid[nbs_arr] & (m.kf_feat_mp[nbs_arr] < 0)
+        free2s[~active] = False
+        idxs, Xs, goods = programs.map_new_points_multi(
+            self.cam,
+            jnp.asarray(m.kf_feat_desc[kf]), jnp.asarray(m.kf_feat_xy[kf]),
+            jnp.asarray(m.kf_feat_level[kf]), jnp.asarray(m.kf_feat_ur[kf]),
+            jnp.asarray(free1),
+            jnp.asarray(R1), jnp.asarray(t1),
+            jnp.asarray(m.kf_feat_desc[nbs_arr]),
+            jnp.asarray(m.kf_feat_xy[nbs_arr]),
+            jnp.asarray(m.kf_feat_level[nbs_arr]),
+            jnp.asarray(m.kf_feat_ur[nbs_arr]),
+            jnp.asarray(free2s),
+            jnp.asarray(m.kf_R[nbs_arr]), jnp.asarray(m.kf_t[nbs_arr]),
+            scale=cfg.scale_factor,
+        )
+        import jax as _jax
+        idxs, Xs, goods = _jax.device_get((idxs, Xs, goods))
+        claimed = np.zeros(m.cfg.n_feat, bool)  # one new point per feature
+        all_new = []
+        for b, nb in enumerate(usable):
+            good_np = goods[b] & ~claimed
             gi = np.nonzero(good_np)[0]
             if len(gi) == 0:
                 continue
-            ids = m.add_map_points(X_np[gi], m.kf_feat_desc[kf][gi], kf, gi)
+            claimed[gi] = True
+            ids = m.add_map_points(Xs[b][gi], m.kf_feat_desc[kf][gi], kf, gi)
             for j, mp in enumerate(ids):
                 if mp >= 0:
-                    m.add_observation(int(mp), nb, int(idx_np[gi[j]]))
+                    m.add_observation(int(mp), int(nb), int(idxs[b][gi[j]]))
                     self.recent_mps.append((int(mp), kf))
-            m.update_point_geometry(ids[ids >= 0])
+            all_new.extend(int(x) for x in ids if x >= 0)
+        if all_new:
+            m.update_point_geometry(np.asarray(all_new))
 
     # ----------------------------------------------------------------- fuse
     def fuse_neighbors(self, kf: int):
@@ -343,18 +349,27 @@ class LocalMapper:
             max_dist=jnp.asarray(_pad_rows(m.mp_max_dist[ids], L)),
             valid=jnp.asarray(_pad_rows(np.ones(len(ids), bool), L)),
         )
-        for nb in neighbors:
-            fidx, ok, existing = programs.fuse_project(
-                self.cam,
-                jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]), lp,
-                jnp.asarray(m.kf_feat_xy[nb]), jnp.asarray(m.kf_feat_level[nb]),
-                jnp.asarray(m.kf_feat_desc[nb]), jnp.asarray(m.kf_feat_valid[nb]),
-                jnp.asarray(m.kf_feat_mp[nb]),
-                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
-            )
-            fidx = np.asarray(fidx)
-            ok_np = np.asarray(ok)[: len(ids)]
-            ex = np.asarray(existing)[: len(ids)]
+        B = self.cfg.triangulation_neighbors
+        nbs = (neighbors + [neighbors[-1]] * B)[:B]
+        active = np.zeros(B, bool)
+        active[: min(len(neighbors), B)] = True
+        nbs_arr = np.asarray(nbs)
+        valids = m.kf_feat_valid[nbs_arr].copy()
+        valids[~active] = False
+        fidxs, oks, exs = programs.fuse_project_multi(
+            self.cam,
+            jnp.asarray(m.kf_R[nbs_arr]), jnp.asarray(m.kf_t[nbs_arr]), lp,
+            jnp.asarray(m.kf_feat_xy[nbs_arr]), jnp.asarray(m.kf_feat_level[nbs_arr]),
+            jnp.asarray(m.kf_feat_desc[nbs_arr]), jnp.asarray(valids),
+            jnp.asarray(m.kf_feat_mp[nbs_arr]),
+            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+        )
+        import jax as _jax
+        fidxs, oks, exs = _jax.device_get((fidxs, oks, exs))
+        for b, nb in enumerate(neighbors[:B]):
+            fidx = fidxs[b]
+            ok_np = oks[b][: len(ids)]
+            ex = exs[b][: len(ids)]
             for j in np.nonzero(ok_np)[0]:
                 mp = int(ids[j])
                 if not m.mp_valid[mp]:

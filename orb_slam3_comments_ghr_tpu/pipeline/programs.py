@@ -239,12 +239,11 @@ def extract_and_track_stereo(
     return fl, res
 
 
-@functools.partial(jax.jit, static_argnames=("cam",))
-def epipolar_match(
+def _epipolar_match_impl(
     cam: cameras.Camera,
-    desc1, xy1, level1, free1,     # KF1 features (free = no map point attached)
-    desc2, xy2, level2, free2,     # KF2 features
-    R12, t12,                      # KF2->KF1 relative pose (x1 = R12 x2 + t12)
+    desc1, xy1, level1, free1,
+    desc2, xy2, level2, free2,
+    R12, t12,
 ):
     """SearchForTriangulation: match unassociated features across two KFs with
     an epipolar constraint (ORBmatcher.cc:1045). The reference walks shared
@@ -272,8 +271,41 @@ def epipolar_match(
     return idx, ok
 
 
+epipolar_match = functools.partial(jax.jit, static_argnames=("cam",))(
+    _epipolar_match_impl
+)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "scale"))
-def triangulate_matches(
+def map_new_points_multi(
+    cam: cameras.Camera,
+    desc1, xy1, level1, ur1, free1,          # current KF features
+    R1, t1,
+    desc2s, xy2s, level2s, ur2s, free2s,     # (B, ...) stacked neighbors
+    R2s, t2s,
+    scale: float = 1.2,
+):
+    """CreateNewMapPoints over ALL covisible neighbors in ONE program:
+    vmapped epipolar matching + triangulation + acceptance gates per
+    neighbor (the host loop of LocalMapping.cc:526 becomes a batch axis).
+    Returns (idx (B,N), X (B,N,3), good (B,N))."""
+
+    def per_neighbor(desc2, xy2, level2, ur2, free2, R2, t2):
+        R12 = R1 @ R2.T
+        t12 = t1 - R12 @ t2
+        idx, ok = _epipolar_match_impl(
+            cam, desc1, xy1, level1, free1, desc2, xy2, level2, free2, R12, t12
+        )
+        X, good = _triangulate_matches_impl(
+            cam, R1, t1, R2, t2,
+            xy1, xy2[idx], level1, level2[idx], ok, ur1, ur2[idx], scale,
+        )
+        return idx, X, good
+
+    return jax.vmap(per_neighbor)(desc2s, xy2s, level2s, ur2s, free2s, R2s, t2s)
+
+
+def _triangulate_matches_impl(
     cam: cameras.Camera,
     R1, t1, R2, t2,                     # world->cam poses
     uv1, uv2, level1, level2, ok,       # matched pixel pairs
@@ -330,8 +362,12 @@ def triangulate_matches(
     return X, good
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "n_levels", "scale"))
-def fuse_project(
+triangulate_matches = functools.partial(
+    jax.jit, static_argnames=("cam", "scale")
+)(_triangulate_matches_impl)
+
+
+def _fuse_project_impl(
     cam: cameras.Camera,
     R, t,
     pts: LocalPoints,
@@ -356,3 +392,29 @@ def fuse_project(
     ok = matching.resolve_duplicates(idx, dist, ok, feat_xy.shape[0])
     existing = feat_mp[idx]       # (L,) map point already on that feature
     return idx, ok, existing
+
+
+fuse_project = functools.partial(
+    jax.jit, static_argnames=("cam", "n_levels", "scale")
+)(_fuse_project_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "n_levels", "scale"))
+def fuse_project_multi(
+    cam: cameras.Camera,
+    Rs, ts,                                   # (B,3,3), (B,3)
+    pts: LocalPoints,
+    feat_xys, feat_levels, feat_descs, feat_valids, feat_mps,  # (B, ...)
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """SearchInNeighbors' per-neighbor Fuse over ALL neighbors in one
+    program (batch axis over keyframes)."""
+
+    def per_kf(R, t, fxy, flvl, fdesc, fval, fmp):
+        return _fuse_project_impl(
+            cam, R, t, pts, fxy, flvl, fdesc, fval, fmp, n_levels, scale
+        )
+
+    return jax.vmap(per_kf)(Rs, ts, feat_xys, feat_levels, feat_descs,
+                            feat_valids, feat_mps)

@@ -224,6 +224,19 @@ class SLAM:
             finally:
                 self._map_queue.task_done()
 
+    def shutdown(self, atlas_path: str | None = None):
+        """System::Shutdown (System.cc:573): drain pipeline workers and
+        optionally persist the Atlas."""
+        self.wait_idle()
+        if atlas_path:
+            self.save_atlas(atlas_path)
+
+    def print_time_stats(self):
+        """Tracking::PrintTimeStats equivalent (REGISTER_TIMES report)."""
+        from .utils.profiling import GLOBAL_TIMER
+
+        GLOBAL_TIMER.print_time_stats()
+
     def wait_idle(self):
         """Drain the async mapping queue (Shutdown's spin-wait analog)."""
         if self._map_queue is not None:
