@@ -13,8 +13,6 @@ int32 VPU ops, no data-dependent control flow.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -8,9 +8,6 @@ Images are float32 (H, W) grayscale. All shapes static per (H, W, n_levels)."""
 
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ where the reference does (projectJac, GeometricCamera.h:77).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

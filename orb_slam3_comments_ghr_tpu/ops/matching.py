@@ -17,8 +17,6 @@ Constants TH_LOW=50, TH_HIGH=100, HISTO_LENGTH=30 mirror ORBmatcher.cc:34-36.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

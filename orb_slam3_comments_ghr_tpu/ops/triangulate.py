@@ -8,7 +8,6 @@ matrix — one fused XLA op over the whole batch."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -12,7 +12,6 @@ ba(12:15)]; gravity constant 9.81 (ImuTypes.h:44).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import lie, cameras, triangulate
+from ..ops import cameras, triangulate
 
 RANSAC_ITERS = 200
 SIGMA = 1.0

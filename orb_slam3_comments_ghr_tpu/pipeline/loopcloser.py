@@ -14,13 +14,12 @@ background thread maps to the host simply not dispatching further iterations).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..map.state import MapState
-from ..ops import lie, cameras, matching
+from ..ops import cameras, matching
 from ..optim import sim3 as sim3_mod
-from ..optim import posegraph, ba
+from ..optim import posegraph
 from ..utils.config import SlamConfig
 from . import programs
 

@@ -20,7 +20,7 @@ from .map.state import MapState, MapConfig
 from .ops import cameras, lie
 from .pipeline.tracker import Tracker, STATE_NAMES
 from .pipeline.mapper import LocalMapper
-from .utils.config import SlamConfig, MONOCULAR
+from .utils.config import SlamConfig
 
 
 class SLAM:
