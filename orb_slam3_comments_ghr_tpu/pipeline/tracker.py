@@ -655,6 +655,17 @@ class Tracker:
             pv = jnp.asarray(ok_np & (mp >= 0) & m.mp_valid[np.maximum(mp, 0)])
             key = jnp.asarray(self._rng.integers(0, 2**31, 2), jnp.uint32)
             R, t, inl, n_inl = pnp.pnp_ransac(self.cam, X, feats.xy, pv, key)
+            if int(n_inl) < 10:
+                continue
+            # guided growth (Tracking.cc:4560-4640): project the candidate's
+            # local map through the PnP pose with a wide window and re-optimize
+            lp, _ids = self._candidate_local_view(kf)
+            res = programs.track_against_points(
+                self.cam, feats, lp, R, t, th=2.5,
+                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+            )
+            if int(res.n_inliers) >= max(20, int(n_inl)):
+                R, t, n_inl = res.R, res.t, res.n_inliers
             if int(n_inl) >= 20:
                 self.last_R = np.asarray(R)
                 self.last_t = np.asarray(t)
@@ -669,6 +680,32 @@ class Tracker:
                     m.version += 1
                 return True
         return False
+
+    def _candidate_local_view(self, kf: int):
+        """LocalPoints view around a relocalization candidate keyframe."""
+        m = self.map
+        cap = self.cfg.local_points_cap
+        kfs = [kf] + m.covisible_kfs(kf, k=10, min_weight=5)
+        ids = m.local_point_ids(np.unique(kfs), cap)
+        L = cap
+        pos = np.zeros((L, 3), np.float32)
+        desc = np.zeros((L, 8), np.uint32)
+        normal = np.zeros((L, 3), np.float32)
+        mind = np.zeros((L,), np.float32)
+        maxd = np.zeros((L,), np.float32)
+        valid = np.zeros((L,), bool)
+        n = len(ids)
+        pos[:n] = m.mp_pos[ids]
+        desc[:n] = m.mp_desc[ids]
+        normal[:n] = m.mp_normal[ids]
+        mind[:n] = m.mp_min_dist[ids]
+        maxd[:n] = m.mp_max_dist[ids]
+        valid[:n] = True
+        return programs.LocalPoints(
+            pos=jnp.asarray(pos), desc=jnp.asarray(desc),
+            normal=jnp.asarray(normal), min_dist=jnp.asarray(mind),
+            max_dist=jnp.asarray(maxd), valid=jnp.asarray(valid),
+        ), ids
 
     def _handle_lost(self):
         """Recovery ladder tail (Tracking.cc:2299-2322): young map => reset;
