@@ -276,6 +276,62 @@ epipolar_match = functools.partial(jax.jit, static_argnames=("cam",))(
 )
 
 
+@functools.partial(jax.jit, static_argnames=("cam1", "cam2", "n_pairs"))
+def fisheye_stereo_depth(
+    cam1: cameras.Camera,          # left virtual pinhole (undistorted coords)
+    cam2: cameras.Camera,          # right virtual pinhole
+    xy1, level1, desc1, valid1,    # undistorted left features
+    xy2, level2, desc2, valid2,    # undistorted right features
+    R12, t12,                      # right->left extrinsics: x_l = R12 x_r + t12
+    n_pairs: int = 0,
+):
+    """KannalaBrandt8::matchAndtriangulate equivalent for non-rectified
+    stereo (KannalaBrandt8.cpp:438): epipolar-constrained descriptor matching
+    across the two (already undistorted) views + DLT triangulation; returns
+    per-left-feature depth (-1 where unmatched/rejected).
+
+    The rectified-stereo u_right parameterization does not apply; depths seed
+    map points exactly like RGB-D (the right view's residual is then carried
+    by triangulated-point reprojection in BA)."""
+    K1 = cam1.K
+    K2 = cam2.K
+    E = lie.hat(t12) @ R12
+    F = jnp.linalg.inv(K1).T @ E @ jnp.linalg.inv(K2)  # x1^T F x2 = 0
+    oh1 = jnp.concatenate([xy1, jnp.ones_like(xy1[:, :1])], -1)
+    oh2 = jnp.concatenate([xy2, jnp.ones_like(xy2[:, :1])], -1)
+    lines2 = oh1 @ F
+    num = jnp.einsum("mi,ni->mn", lines2, oh2)
+    den = jnp.maximum(lines2[:, 0:1] ** 2 + lines2[:, 1:2] ** 2, 1e-12)
+    d2 = num * num / den
+    sigma2 = (1.2 ** level2.astype(jnp.float32)) ** 2
+    mask = (d2 < 3.84 * sigma2[None, :]) & valid1[:, None] & valid2[None, :]
+    idx, dist, ok = matching.search_by_window(
+        desc1, desc2, mask, th=matching.TH_LOW, ratio=0.7
+    )
+    ok = matching.resolve_duplicates(idx, dist, ok, xy2.shape[0])
+
+    # triangulate in the LEFT camera frame: P1 = K1 [I|0]; right camera pose
+    # (left->right): R21 = R12^T, t21 = -R12^T t12
+    R21 = R12.T
+    t21 = -R21 @ t12
+    P1 = triangulate.projection_matrix(K1, jnp.eye(3), jnp.zeros(3))
+    P2 = triangulate.projection_matrix(K2, R21, t21)
+    X = triangulate.triangulate(P1, P2, xy1, xy2[idx])
+    z1 = X[..., 2]
+    Xr = X @ R21.T + t21
+    good = (
+        ok & (z1 > 0.05) & (Xr[..., 2] > 0.05)
+        & jnp.all(jnp.isfinite(X), axis=-1)
+    )
+    # reprojection gate in both views (chi2 5.991 per view)
+    uv1_hat = cameras.project(cam1, X)
+    uv2_hat = cameras.project(cam2, Xr)
+    e1 = jnp.sum((uv1_hat - xy1) ** 2, -1)
+    e2 = jnp.sum((uv2_hat - xy2[idx]) ** 2, -1)
+    good = good & (e1 < 5.991) & (e2 < 5.991 * sigma2[idx])
+    return jnp.where(good, z1, -1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "scale"))
 def map_new_points_multi(
     cam: cameras.Camera,

@@ -148,6 +148,38 @@ class SLAM:
             fl, timestamp, precomputed=(res,) if ready else None
         )
 
+    def track_stereo_fisheye(self, img_left, img_right, cam_right,
+                             R_lr, t_lr, timestamp: float,
+                             imu_samples=None) -> Optional[np.ndarray]:
+        """Non-rectified (e.g. KB8 fisheye) stereo: features are undistorted
+        per camera, matched under the true epipolar geometry of the extrinsics
+        (x_l = R_lr x_r + t_lr), and triangulated depths seed metric map
+        points (KannalaBrandt8::matchAndtriangulate / Frame fisheye ctor)."""
+        from .pipeline import programs
+
+        if imu_samples is not None:
+            self.feed_imu(imu_samples)
+        fl = frontend.extract(
+            jnp.asarray(img_left), n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+            ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+        )
+        fr = frontend.extract(
+            jnp.asarray(img_right), n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+            ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+        )
+        xy1 = cameras.undistort_points(self.cam, fl.xy)
+        xy2 = cameras.undistort_points(cam_right, fr.xy)
+        depth = programs.fisheye_stereo_depth(
+            self.geom_cam, cameras.pinhole_equivalent(cam_right),
+            xy1, fl.level, fl.desc, fl.valid,
+            xy2, fr.level, fr.desc, fr.valid,
+            jnp.asarray(R_lr), jnp.asarray(t_lr),
+        )
+        fl = fl._replace(xy=xy1, depth=depth)
+        return self.track_features(fl, timestamp)
+
     def track_rgbd(self, img, depth_map, timestamp: float) -> Optional[np.ndarray]:
         """RGB-D frame (System::TrackRGBD, System.h:114)."""
         from .frontend import stereo as stereo_mod
