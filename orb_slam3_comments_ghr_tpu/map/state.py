@@ -166,10 +166,29 @@ class MapState:
         self.mp_visible[idx] = 1.0
         self.mp_obs_kf[idx] = -1
         self.mp_obs_idx[idx] = -1
-        for i in np.nonzero(ok)[0]:
-            self.add_observation(int(ids[i]), int(first_kf), int(feat_idx[i]))
+        sel = np.nonzero(ok)[0]
+        self.add_observations(ids[sel], int(first_kf), np.asarray(feat_idx)[sel])
         self.version += 1
         return ids
+
+    def add_observations(self, mps: np.ndarray, kf: int,
+                         feat_idxs: np.ndarray) -> np.ndarray:
+        """Vectorized add_observation for a batch of DISTINCT map points
+        observed by one keyframe. Returns the mask of points actually added
+        (skips points already observing kf or with a full slot table)."""
+        mps = np.asarray(mps, np.int64)
+        feat_idxs = np.asarray(feat_idxs, np.int64)
+        if len(mps) == 0:
+            return np.zeros(0, bool)
+        slots = self.mp_obs_kf[mps]                    # (n, D)
+        sel = ~(slots == kf).any(1) & (slots < 0).any(1)
+        rows = mps[sel]
+        s = np.argmax(self.mp_obs_kf[rows] < 0, axis=1)
+        self.mp_obs_kf[rows, s] = kf
+        self.mp_obs_idx[rows, s] = feat_idxs[sel]
+        self.mp_n_obs[rows] += 1
+        self.kf_feat_mp[kf, feat_idxs[sel]] = rows
+        return sel
 
     def add_observation(self, mp: int, kf: int, feat_idx: int) -> bool:
         slots = self.mp_obs_kf[mp]
@@ -245,16 +264,16 @@ class MapState:
         """weight(kf, other) = #shared map points (UpdateConnections)."""
         mps = self.kf_feat_mp[kf]
         mps = mps[mps >= 0]
-        counts: dict[int, int] = {}
-        obs = self.mp_obs_kf[mps]  # (n, D)
-        for other in obs.reshape(-1):
-            if other >= 0 and other != kf:
-                counts[int(other)] = counts.get(int(other), 0) + 1
-        return counts
+        obs = self.mp_obs_kf[mps].reshape(-1)
+        obs = obs[(obs >= 0) & (obs != kf)]
+        uniq, cnt = np.unique(obs, return_counts=True)
+        return {int(u): int(c) for u, c in zip(uniq, cnt)}
 
     def covisible_kfs(self, kf: int, k: int = 10, min_weight: int = 15) -> list[int]:
         counts = self.covisibility(kf)
-        ordered = sorted(counts.items(), key=lambda kv: -kv[1])
+        # explicit tie-break: equal weight -> newer keyframe first (temporal
+        # neighbors carry the freshest geometry for local windows)
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], -kv[0]))
         out = [c for c, w in ordered if w >= min_weight][:k]
         if not out and ordered:
             out = [ordered[0][0]]  # keep best edge (KeyFrame.cc:499 fallback)

@@ -320,11 +320,11 @@ class LocalMapper:
                 continue
             claimed[gi] = True
             ids = m.add_map_points(Xs[b][gi], m.kf_feat_desc[kf][gi], kf, gi)
-            for j, mp in enumerate(ids):
-                if mp >= 0:
-                    m.add_observation(int(mp), int(nb), int(idxs[b][gi[j]]))
-                    self.recent_mps.append((int(mp), kf))
-            all_new.extend(int(x) for x in ids if x >= 0)
+            got = np.nonzero(ids >= 0)[0]
+            m.add_observations(ids[got], int(nb), idxs[b][gi[got]])
+            for mp in ids[got]:
+                self.recent_mps.append((int(mp), kf))
+            all_new.extend(int(x) for x in ids[got])
         if all_new:
             m.update_point_geometry(np.asarray(all_new))
 
@@ -366,23 +366,22 @@ class LocalMapper:
         )
         import jax as _jax
         fidxs, oks, exs = _jax.device_get((fidxs, oks, exs))
+        idv = np.asarray(ids)
         for b, nb in enumerate(neighbors[:B]):
             fidx = fidxs[b]
             ok_np = oks[b][: len(ids)]
             ex = exs[b][: len(ids)]
-            for j in np.nonzero(ok_np)[0]:
-                mp = int(ids[j])
-                if not m.mp_valid[mp]:
-                    continue
-                if ex[j] >= 0 and ex[j] != mp and m.mp_valid[ex[j]]:
-                    # duplicate: keep the one with more observations
-                    a, b = (mp, int(ex[j]))
-                    if m.mp_n_obs[a] >= m.mp_n_obs[b]:
-                        m.replace_point(b, a)
+            # duplicates first (rare): keep the point with more observations
+            for j in np.nonzero(ok_np & (ex >= 0) & (ex != idv))[0]:
+                mp, e = int(idv[j]), int(ex[j])
+                if m.mp_valid[mp] and m.mp_valid[e]:
+                    if m.mp_n_obs[mp] >= m.mp_n_obs[e]:
+                        m.replace_point(e, mp)
                     else:
-                        m.replace_point(a, b)
-                elif ex[j] < 0:
-                    m.add_observation(mp, nb, int(fidx[j]))
+                        m.replace_point(mp, e)
+            # then batch the plain extensions into the neighbor
+            add = np.nonzero(ok_np & (ex < 0) & m.mp_valid[idv])[0]
+            m.add_observations(idv[add], int(nb), fidx[add])
         m.update_point_geometry(ids)
 
     # ------------------------------------------------------------- local BA

@@ -36,14 +36,17 @@ STATE_NAMES = {0: "NO_IMAGES_YET", 1: "NOT_INITIALIZED", 2: "OK",
 
 
 def _np_feats(feats: frontend.Features) -> dict:
+    # single device_get: one host round trip for the whole pytree (per-field
+    # np.asarray pays one device sync EACH — ~25 ms over a remote tunnel)
+    f = jax.device_get(feats)
     return {
-        "xy": np.asarray(feats.xy),
-        "level": np.asarray(feats.level),
-        "angle": np.asarray(feats.angle),
-        "desc": np.asarray(feats.desc),
-        "valid": np.asarray(feats.valid),
-        "u_right": np.asarray(feats.u_right),
-        "depth": np.asarray(feats.depth),
+        "xy": f.xy,
+        "level": f.level,
+        "angle": f.angle,
+        "desc": f.desc,
+        "valid": f.valid,
+        "u_right": f.u_right,
+        "depth": f.depth,
     }
 
 
@@ -595,8 +598,8 @@ class Tracker:
         # associate tracked points with this KF's features
         match_feat = np.asarray(res.match_feat)[: len(ids)]
         inl = np.asarray(res.inlier)[: len(ids)]
-        for j in np.nonzero(inl & (match_feat >= 0))[0]:
-            m.add_observation(int(ids[j]), kf, int(match_feat[j]))
+        j = np.nonzero(inl & (match_feat >= 0))[0]
+        m.add_observations(np.asarray(ids)[j], kf, match_feat[j])
         if not self.cfg.is_mono:
             # stereo/RGB-D: spawn close points from measured depth
             self._spawn_depth_points(kf, f, max_points=10**9, depth_cap=None)
