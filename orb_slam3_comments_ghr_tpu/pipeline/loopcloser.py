@@ -21,6 +21,7 @@ from ..ops import cameras, matching
 from ..optim import sim3 as sim3_mod
 from ..optim import posegraph
 from ..utils.config import SlamConfig
+from ..utils.fetch import device_fetch
 from . import programs
 
 
@@ -131,8 +132,7 @@ class LoopCloser:
             jnp.asarray(m.kf_feat_desc[kf]), jnp.asarray(m.kf_feat_desc[cand]),
             jnp.asarray(mask), th=matching.TH_LOW, ratio=0.75,
         )
-        ok_np = np.asarray(ok)
-        idx_np = np.asarray(idx)
+        idx_np, ok_np = device_fetch((idx, ok))
         if ok_np.sum() < 20:
             return None
         # matched 3D points in each camera frame
@@ -162,16 +162,17 @@ class LoopCloser:
             jnp.asarray(Xc), jnp.asarray(uv_c), jnp.asarray(lv_c),
             jnp.asarray(pair_ok), fix_scale=fix_scale,
         )
+        s_np, R_np, t_np, n2 = device_fetch((s, R, t, n2))
         if int(n2) < 20:
             return None
         # guided projection growth over the candidate's covisible-window
         # points (SearchByProjection/SearchBySim3, LoopClosing.cc:1062-1091):
         # the refined S12 must re-project >= nProjMatches points of the loop
         # region into the current keyframe
-        n_proj = self._count_projection_matches(kf, cand, float(s), np.asarray(R), np.asarray(t))
+        n_proj = self._count_projection_matches(kf, cand, float(s_np), R_np, t_np)
         if n_proj < 40:
             return None
-        return float(s), np.asarray(R), np.asarray(t), int(n2)
+        return float(s_np), R_np, t_np, int(n2)
 
     def _count_projection_matches(self, kf: int, cand: int, s12, R12, t12) -> int:
         """Project the candidate window's map points through S12 into the
@@ -312,9 +313,9 @@ class LoopCloser:
                 jnp.asarray(m.kf_feat_mp[nb]),
                 n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
             )
-            fidx = np.asarray(fidx)
-            ok_np = np.asarray(ok)[: len(ids)]
-            ex = np.asarray(existing)[: len(ids)]
+            fidx, ok_np, ex = device_fetch((fidx, ok, existing))
+            ok_np = ok_np[: len(ids)]
+            ex = ex[: len(ids)]
             for j in np.nonzero(ok_np)[0]:
                 mp = int(ids[j])
                 if not m.mp_valid[mp]:

@@ -19,6 +19,7 @@ from ..ops import cameras
 from ..optim import ba, inertial
 from ..utils.config import SlamConfig
 from . import programs
+from ..utils.fetch import device_fetch
 
 
 def _pad_pow2(n: int, lo: int, hi: int) -> int:
@@ -309,8 +310,7 @@ class LocalMapper:
             jnp.asarray(m.kf_R[nbs_arr]), jnp.asarray(m.kf_t[nbs_arr]),
             scale=cfg.scale_factor,
         )
-        import jax as _jax
-        idxs, Xs, goods = _jax.device_get((idxs, Xs, goods))
+        idxs, Xs, goods = device_fetch((idxs, Xs, goods))
         claimed = np.zeros(m.cfg.n_feat, bool)  # one new point per feature
         all_new = []
         for b, nb in enumerate(usable):
@@ -364,8 +364,7 @@ class LocalMapper:
             jnp.asarray(m.kf_feat_mp[nbs_arr]),
             n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
         )
-        import jax as _jax
-        fidxs, oks, exs = _jax.device_get((fidxs, oks, exs))
+        fidxs, oks, exs = device_fetch((fidxs, oks, exs))
         idv = np.asarray(ids)
         for b, nb in enumerate(neighbors[:B]):
             fidx = fidxs[b]
@@ -463,17 +462,19 @@ class LocalMapper:
         Rwb_n, pwb_n, vel_n, bias_n, p_n, inlier, _ = vi_ba.vi_bundle_adjust(
             self.cam, prob, iters=iters
         )
-        Rwb_n, pwb_n = np.asarray(Rwb_n), np.asarray(pwb_n)
+        Rwb_n, pwb_n, vel_n, bias_n, p_n = device_fetch(
+            (Rwb_n, pwb_n, vel_n, bias_n, p_n)
+        )
         for i, k in enumerate(chain):
             Rwc = Rwb_n[i] @ Rbc          # Rwb * Rbc
             Rcw = Rwc.T
             cw = pwb_n[i] + Rwb_n[i] @ tbc
             m.kf_R[k] = Rcw
             m.kf_t[k] = -Rcw @ cw
-            m.kf_vel[k] = np.asarray(vel_n)[i]
-            m.kf_bias[k] = np.asarray(bias_n)[i]
-        m.mp_pos[pts] = np.asarray(p_n)[: len(pts)]
-        self.imu.bias = np.asarray(bias_n)[-1]
+            m.kf_vel[k] = vel_n[i]
+            m.kf_bias[k] = bias_n[i]
+        m.mp_pos[pts] = p_n[: len(pts)]
+        self.imu.bias = bias_n[-1]
         m.version += 1
 
     def global_ba(self, iters: int = 10):
@@ -540,8 +541,7 @@ class LocalMapper:
             obs_valid=jnp.asarray(obs_valid),
         )
         Rn, tn, pn, inlier, _ = ba.bundle_adjust(self.cam, prob, iters=iters)
-        Rn, tn, pn = np.asarray(Rn), np.asarray(tn), np.asarray(pn)
-        inlier = np.asarray(inlier)
+        Rn, tn, pn, inlier = device_fetch((Rn, tn, pn, inlier))
         for c in opt_kfs:
             i = cam_slot[c]
             m.kf_R[c] = Rn[i]

@@ -22,6 +22,7 @@ from ..optim import twoview, ba, imu as imu_mod, inertial, pose_opt
 from ..utils.config import SlamConfig, MONOCULAR
 from . import programs
 from .imu_frontend import ImuFrontend
+from ..utils.fetch import device_fetch
 
 import jax
 
@@ -36,9 +37,9 @@ STATE_NAMES = {0: "NO_IMAGES_YET", 1: "NOT_INITIALIZED", 2: "OK",
 
 
 def _np_feats(feats: frontend.Features) -> dict:
-    # single device_get: one host round trip for the whole pytree (per-field
+    # packed fetch: one host round trip for the whole pytree (per-field
     # np.asarray pays one device sync EACH — ~25 ms over a remote tunnel)
-    f = jax.device_get(feats)
+    f = device_fetch(feats)
     return {
         "xy": f.xy,
         "level": f.level,
@@ -475,7 +476,7 @@ class Tracker:
                 n_levels=cfg.n_levels, scale=cfg.scale_factor,
             )
         # ONE host<->device round trip for the whole result
-        res = programs.TrackResult(*jax.device_get(tuple(res)))
+        res = programs.TrackResult(*device_fetch(tuple(res)))
         n_inl = int(res.n_inliers)
         if n_inl < cfg.min_track_matches:
             return False
@@ -568,15 +569,15 @@ class Tracker:
             (jnp.asarray(Rcb.astype(np.float32)), jnp.asarray(tcb.astype(np.float32))),
             self.vi_prior if self.vi_prior is not None else inertial.empty_prior(),
         )
+        n2, st_np = device_fetch((n2, st))
         if int(n2) >= self.cfg.min_track_matches:
-            Rwb_n = np.asarray(st.Rwb)
-            pwb_n = np.asarray(st.pwb)
+            Rwb_n, pwb_n = st_np.Rwb, st_np.pwb
             Rwc_n = Rwb_n @ Rbc
             cw_n = pwb_n + Rwb_n @ tbc
             self.last_R = Rwc_n.T
             self.last_t = -Rwc_n.T @ cw_n
-            self.body_vel = np.asarray(st.vel)
-            self.imu.bias = np.asarray(st.bias)
+            self.body_vel = st_np.vel
+            self.imu.bias = st_np.bias
             self.vi_prior = nxt
 
     def _need_new_kf(self, n_inl: int) -> bool:
