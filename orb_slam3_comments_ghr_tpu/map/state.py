@@ -188,6 +188,8 @@ class MapState:
         self.mp_obs_idx[rows, s] = feat_idxs[sel]
         self.mp_n_obs[rows] += 1
         self.kf_feat_mp[kf, feat_idxs[sel]] = rows
+        if len(rows):
+            self.version += 1
         return sel
 
     def add_observation(self, mp: int, kf: int, feat_idx: int) -> bool:
@@ -202,6 +204,7 @@ class MapState:
         self.mp_obs_idx[mp, s] = feat_idx
         self.mp_n_obs[mp] += 1
         self.kf_feat_mp[kf, feat_idx] = mp
+        self.version += 1
         return True
 
     def remove_observation(self, mp: int, kf: int):
@@ -347,6 +350,7 @@ class MapState:
         med = np.where(mask, np.nan_to_num(med, nan=big), big)
         best = med.argmin(axis=1)
         self.mp_desc[ids] = descs[ar, best]
+        self.version += 1
 
     def predict_scale_level(self, dist, map_ids) -> np.ndarray:
         """Octave prediction from viewing distance (MapPoint::PredictScale)."""

@@ -405,6 +405,14 @@ class Tracker:
         Tracking.cc:4250,4206), padded to the static cap."""
         m = self.map
         cap = self.cfg.local_points_cap
+        # the view is a pure function of (map contents, reference KF); the
+        # map version only moves when the mapper commits, so between
+        # keyframes every frame reuses the uploaded device arrays — skipping
+        # ~9 MB of host assembly + host->device transfer per frame
+        key = (m.version, self.last_kf, cap)
+        cached = getattr(self, "_lp_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2]
         kfs = [self.last_kf] + m.covisible_kfs(self.last_kf, k=10, min_weight=5)
         # add temporal neighbors
         k = self.last_kf
@@ -432,6 +440,7 @@ class Tracker:
             min_dist=jnp.asarray(mind), max_dist=jnp.asarray(maxd),
             valid=jnp.asarray(valid),
         )
+        self._lp_cache = (key, lp, ids)
         return lp, ids
 
     def _imu_ready(self) -> bool:
