@@ -120,12 +120,12 @@ def _assemble(prob: BAProblem, r, Jc, Jp, w, row_mask, K: int):
     H_pp = jnp.einsum("pdri,pd,pdrj->pij", Jpm, w, Jpm)  # (P,3,3)
     b_p = -jnp.einsum("pdri,pd,pdr->pi", Jpm, w, rm)     # (P,3)
 
-    # Camera blocks via segment_sum over flattened obs
-    flat_cam = prob.obs_cam.reshape(-1)
-    Hc_blocks = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jcm).reshape(-1, 6, 6)
-    bc_blocks = -jnp.einsum("pdri,pd,pdr->pdi", Jcm, w, rm).reshape(-1, 6)
-    H_cc = jax.ops.segment_sum(Hc_blocks, flat_cam, num_segments=K)  # (K,6,6)
-    b_c = jax.ops.segment_sum(bc_blocks, flat_cam, num_segments=K)   # (K,6)
+    # Camera blocks via one-hot contraction (scatter-free; rides the MXU)
+    G = jax.nn.one_hot(prob.obs_cam, K, dtype=Jcm.dtype)             # (P,D,K)
+    Hc_blocks = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jcm)
+    bc_blocks = -jnp.einsum("pdri,pd,pdr->pdi", Jcm, w, rm)
+    H_cc = jnp.einsum("pdk,pdij->kij", G, Hc_blocks)                 # (K,6,6)
+    b_c = jnp.einsum("pdk,pdi->ki", G, bc_blocks)                    # (K,6)
 
     # Coupling blocks W_o = Jc^T w Jp per observation: (P,D,6,3)
     W = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jpm)
@@ -148,18 +148,17 @@ def _reduced_system(obs_cam, H_cc, b_c, W, Hpp_inv, b_p, K: int):
     the part a distributed BA psums across landmark shards (SURVEY.md §5.8):
     every term is a sum over points/observations."""
     P, D = obs_cam.shape
+    # one-hot camera-slot contraction: materializing the per-point pair
+    # tensor (P,D,D,6,6) + a 524k-segment scatter-add costs ~75 MB of HBM
+    # traffic per LM iteration; phrasing the same sums as dense einsums
+    # keeps everything on the MXU with (P,K,6,3)-sized intermediates
+    G = jax.nn.one_hot(obs_cam, K, dtype=W.dtype)          # (P,D,K)
     WHb = jnp.einsum("pdij,pjk,pk->pdi", W, Hpp_inv, b_p)  # (P,D,6)
-    rhs = b_c - jax.ops.segment_sum(
-        WHb.reshape(-1, 6), obs_cam.reshape(-1), num_segments=K
-    )
+    rhs = b_c - jnp.einsum("pdk,pdi->ki", G, WHb)
     WG = jnp.einsum("pdij,pjk->pdik", W, Hpp_inv)          # (P,D,6,3)
-    pair = jnp.einsum("paik,pbjk->pabij", WG, W)           # (P,D,D,6,6)
-    ci = jnp.broadcast_to(obs_cam[:, :, None], (P, D, D))
-    cj = jnp.broadcast_to(obs_cam[:, None, :], (P, D, D))
-    pair_id = (ci * K + cj).reshape(-1)
-    S_corr = jax.ops.segment_sum(
-        pair.reshape(-1, 6, 6), pair_id, num_segments=K * K
-    ).reshape(K, K, 6, 6)
+    T1 = jnp.einsum("pdk,pdia->pkia", G, WG)               # (P,K,6,3)
+    T2 = jnp.einsum("pdk,pdja->pkja", G, W)                # (P,K,6,3)
+    S_corr = jnp.einsum("pkia,plja->klij", T1, T2)         # (K,K,6,6)
     S = -S_corr
     S = S.at[jnp.arange(K), jnp.arange(K)].add(H_cc)
     return S, rhs
