@@ -135,9 +135,14 @@ def _ic_angles_at(P, xs, ys, lvls):
     kmat = jnp.stack([kx.reshape(-1), ky.reshape(-1)], axis=1)  # (961, 2)
     half = brief.HALF_PATCH
     padded = jnp.pad(P, ((0, 0), (half, half), (half, half)))
+    L, Hp, Wp = padded.shape
+    # slice from the (L*Hp, Wp) flattening with the level folded into the
+    # row offset: vmapping `padded[l]` makes XLA emit a per-keypoint gather
+    # of the whole level (~3x the cost of the slices themselves)
+    flat2d = padded.reshape(L * Hp, Wp)
 
     def get_patch(l, y, x):
-        return jax.lax.dynamic_slice(padded[l], (y, x), (S, S))
+        return jax.lax.dynamic_slice(flat2d, (l * Hp + y, x), (S, S))
 
     patches = jax.vmap(get_patch)(lvls, ys, xs).reshape(-1, S * S)
     m = patches @ kmat  # (n, 2): [m10, m01]
@@ -198,32 +203,60 @@ def _rotation_tables() -> np.ndarray:
 _ROT_TAB = jnp.asarray(_rotation_tables())  # (B, 512)
 
 
+def _diff_matrix() -> np.ndarray:
+    """(PATCH_SIDE^2, B*256) +-1 matrix: column (b, s) computes the rBRIEF
+    pixel difference I[p2] - I[p1] for pattern pair s steered to bin b, so
+    bit = (patch @ D > 0). One dense MXU matmul replaces the (n, B*512)
+    patch gather, which lowers to slow dynamic addressing on TPU."""
+    tab = _rotation_tables()
+    D = np.zeros((PATCH_SIDE * PATCH_SIDE, N_ROT_BINS * 256), np.float32)
+    col = 0
+    for b in range(N_ROT_BINS):
+        for s in range(256):
+            D[tab[b, 256 + s], col] += 1.0
+            D[tab[b, s], col] -= 1.0
+            col += 1
+    return D
+
+
+_DIFF_MAT = jnp.asarray(_diff_matrix())  # (2304, B*256)
+
+
 def _batched_descriptors(blurred, xs, ys, lvls, angles, shapes):
-    """rBRIEF via rotation-binned STATIC pattern indices: per keypoint slice
-    one 48x48 patch (contiguous, cheap), gather the (B,512) table with
-    constant indices, then select the keypoint's bin with a one-hot
-    contraction — no large dynamic gathers, which are the TPU's weak spot
-    (this path measured 14x faster than a flat image gather)."""
+    """rBRIEF via rotation-binned STATIC pattern differences: per keypoint
+    slice one 48x48 patch (contiguous, cheap), compute all B*256 steered
+    pixel differences with ONE dense matmul against a +-1 matrix, threshold,
+    then select the keypoint's rotation bin. Dense contractions are the
+    TPU's fast path; both the flat image gather (14x) and the per-patch
+    (B*512) gather (~5x) measured far slower than this matmul."""
     L, H, W = blurred.shape
     half = PATCH_SIDE // 2
     n = xs.shape[0]
     padded = jnp.pad(blurred, ((0, 0), (half, half), (half, half)))
+    Hp, Wp = padded.shape[1:]
+    # level folded into the row offset (see _ic_angles_at): avoids the
+    # per-keypoint whole-level gather XLA emits for `padded[l]` under vmap
+    flat2d = padded.reshape(L * Hp, Wp)
 
     def get_patch(l, y, x):
         return jax.lax.dynamic_slice(
-            padded[l], (y, x), (PATCH_SIDE, PATCH_SIDE)
+            flat2d, (l * Hp + y, x), (PATCH_SIDE, PATCH_SIDE)
         )
 
     patches = jax.vmap(get_patch)(lvls, ys, xs).reshape(n, PATCH_SIDE * PATCH_SIDE)
-    g = patches[:, _ROT_TAB.reshape(-1)].reshape(n, N_ROT_BINS, 512)
+    # HIGHEST: bf16 multiply passes (DEFAULT) round 0-255 pixels to 8
+    # mantissa bits and flip bits on near-tie pattern pairs; full-f32
+    # products keep the comparison exact to float roundoff
+    diff = jnp.matmul(patches, _DIFF_MAT,
+                      precision=jax.lax.Precision.HIGHEST)  # (n, B*256)
+    bits_all = (diff > 0).reshape(n, N_ROT_BINS, 256)
     bidx = (
         jnp.round(angles / (2 * jnp.pi) * N_ROT_BINS).astype(jnp.int32) % N_ROT_BINS
     )
-    onehot = jax.nn.one_hot(bidx, N_ROT_BINS, dtype=patches.dtype)
-    vals = jnp.einsum("nb,nbs->ns", onehot, g,
-                      precision=jax.lax.Precision.DEFAULT)
-    v1, v2 = vals[:, :256], vals[:, 256:]
-    bits = (v1 < v2).astype(jnp.uint32).reshape(-1, 8, 32)
+    onehot = jax.nn.one_hot(bidx, N_ROT_BINS, dtype=jnp.float32)
+    bits = jnp.einsum("nb,nbs->ns", onehot, bits_all.astype(jnp.float32),
+                      precision=jax.lax.Precision.DEFAULT) > 0.5
+    bits = bits.astype(jnp.uint32).reshape(-1, 8, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
 
