@@ -28,13 +28,23 @@ SENSOR_NAMES = {
 
 def _load_flat(path: str) -> dict:
     """cv::FileStorage YAMLs start with '%YAML:1.0' which PyYAML rejects;
-    strip directives, parse, and flatten 'A.b' style keys."""
+    strip directives, accept `!!opencv-matrix` tagged mappings (Tbc etc.),
+    parse, and flatten 'A.b' style keys."""
     import yaml
+
+    class _CvLoader(yaml.SafeLoader):
+        pass
+
+    def _mat(loader, node):
+        return loader.construct_mapping(node, deep=True)
+
+    _CvLoader.add_constructor("tag:yaml.org,2002:opencv-matrix", _mat)
+    _CvLoader.add_constructor("!opencv-matrix", _mat)
 
     with open(path) as f:
         text = f.read()
     lines = [l for l in text.splitlines() if not l.startswith("%YAML")]
-    doc = yaml.safe_load("\n".join(lines)) or {}
+    doc = yaml.load("\n".join(lines), Loader=_CvLoader) or {}
     # cv::FileStorage files use literal dotted keys ("Camera.fx: 458"), which
     # PyYAML keeps as-is; nested mappings are flattened one level.
     flat = {}
@@ -81,7 +91,13 @@ def load_settings(path: str, sensor: Optional[int] = None):
         k4=float(_opt(flat, 0.0, "Camera1.k4", "Camera.k4")),
         width=int(_opt(flat, 752, "Camera.width", "Camera1.width")),
         height=int(_opt(flat, 480, "Camera.height", "Camera1.height")),
-        bf=float(_opt(flat, 0.0, "Camera.bf", "Stereo.b")) or 0.0,
+        # legacy Camera.bf is baseline*fx already; v1.0 Stereo.b is the
+        # baseline in meters and must be scaled by fx (Settings.cc bf_ = b*fx)
+        bf=(
+            float(flat["Camera.bf"]) if "Camera.bf" in flat
+            else float(_opt(flat, 0.0, "Stereo.b"))
+            * float(_req(flat, "Camera1.fx", "Camera.fx"))
+        ),
         fps=float(_opt(flat, 30.0, "Camera.fps")),
     )
     if sensor is None:
@@ -94,18 +110,27 @@ def load_settings(path: str, sensor: Optional[int] = None):
         ini_th_fast=float(_opt(flat, 20, "ORBextractor.iniThFAST")),
         min_th_fast=float(_opt(flat, 7, "ORBextractor.minThFAST")),
         max_frames_between_kf=int(cam.fps),
-        depth_th_factor=float(_opt(flat, 35.0, "ThDepth", "Stereo.ThDepth", "RGBD.DepthMapFactor")),
+        depth_th_factor=float(_opt(flat, 35.0, "ThDepth", "Stereo.ThDepth", "Camera.ThDepth")),
     )
     calib = None
     if sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
         freq = float(_opt(flat, 200.0, "IMU.Frequency"))
         sf = freq ** 0.5
+        # camera->body extrinsics: v1.0 `IMU.T_b_c1` / legacy `Tbc`, stored
+        # as a cv 4x4 row-major matrix (Settings.cc readImu / Tracking.cc:652)
+        Tbc_node = _opt(flat, None, "IMU.T_b_c1", "Tbc")
+        Rbc, tbc = jnp.eye(3), jnp.zeros(3)
+        if isinstance(Tbc_node, dict) and "data" in Tbc_node:
+            import numpy as _np
+            T = _np.asarray(Tbc_node["data"], _np.float32).reshape(4, 4)
+            Rbc, tbc = jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3])
+        # noise sigma*sqrt(freq), walk sigma/sqrt(freq) (Tracking.cc:680-681)
         calib = imu_mod.ImuCalib(
-            Rbc=jnp.eye(3),
-            tbc=jnp.zeros(3),
+            Rbc=Rbc,
+            tbc=tbc,
             noise_g=float(_req(flat, "IMU.NoiseGyro")) * sf,
             noise_a=float(_req(flat, "IMU.NoiseAcc")) * sf,
-            walk_g=float(_req(flat, "IMU.GyroWalk")) * sf,
-            walk_a=float(_req(flat, "IMU.AccWalk")) * sf,
+            walk_g=float(_req(flat, "IMU.GyroWalk")) / sf,
+            walk_a=float(_req(flat, "IMU.AccWalk")) / sf,
         )
     return cam, cfg, calib

@@ -19,7 +19,7 @@ from .state import MapState, MapConfig
 
 _ARRAYS = [
     "kf_R", "kf_t", "kf_vel", "kf_bias", "kf_time", "kf_valid", "kf_map_id",
-    "kf_parent", "kf_prev", "kf_next",
+    "kf_parent", "kf_prev", "kf_next", "kf_Tcp",
     "kf_feat_xy", "kf_feat_level", "kf_feat_angle", "kf_feat_desc",
     "kf_feat_valid", "kf_feat_ur", "kf_feat_depth", "kf_feat_mp",
     "mp_pos", "mp_desc", "mp_normal", "mp_min_dist", "mp_max_dist",
@@ -66,7 +66,8 @@ def load_atlas(path: str, voc=None) -> MapState:
     cfg = MapConfig(**meta["cfg"])
     m = MapState(cfg)
     for k in _ARRAYS:
-        getattr(m, k)[...] = z[k]
+        if k in z:  # older checkpoints may miss newer fields (kf_Tcp)
+            getattr(m, k)[...] = z[k]
     m.n_kf = int(meta["n_kf"])
     m.n_mp = int(meta["n_mp"])
     m.active_map = int(meta["active_map"])

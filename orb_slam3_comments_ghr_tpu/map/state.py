@@ -53,6 +53,9 @@ class MapState:
         self.kf_parent = np.full((K,), -1, np.int32)    # spanning tree
         self.kf_prev = np.full((K,), -1, np.int32)      # temporal chain (IMU)
         self.kf_next = np.full((K,), -1, np.int32)
+        # relative pose to the parent, frozen at cull time (mTcp,
+        # KeyFrame.h:392) — used by trajectory export to walk bad-KF chains
+        self.kf_Tcp = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
 
         # per-KF features (copied from the Frame at insertion)
         self.kf_feat_xy = np.zeros((K, N, 2), np.float32)
@@ -91,13 +94,46 @@ class MapState:
         self.map_viba2: dict[int, bool] = {0: False}
 
     # ------------------------------------------------------------------ kfs
+    def _grow_kf_pool(self):
+        """Double every keyframe-indexed array. The pools are host numpy —
+        device programs receive fixed-size *views*, so growth never re-jits;
+        it replaces the reference's unbounded heap allocation."""
+        old = self.cfg.max_kf
+        new = old * 2
+        for name, arr in list(self.__dict__.items()):
+            if name.startswith("kf_") and isinstance(arr, np.ndarray) and arr.shape[:1] == (old,):
+                ext = np.zeros((new,) + arr.shape[1:], arr.dtype)
+                if name in ("kf_parent", "kf_prev", "kf_next", "kf_map_id"):
+                    ext.fill(-1)
+                elif name == "kf_feat_mp":
+                    ext.fill(-1)
+                elif name in ("kf_feat_ur", "kf_feat_depth"):
+                    ext.fill(-1.0)
+                elif name == "kf_Tcp":
+                    ext[:] = np.eye(4, dtype=np.float32)
+                ext[:old] = arr
+                setattr(self, name, ext)
+        self.cfg.max_kf = new
+
+    def _grow_mp_pool(self):
+        old = self.cfg.max_mp
+        new = old * 2
+        for name, arr in list(self.__dict__.items()):
+            if name.startswith("mp_") and isinstance(arr, np.ndarray) and arr.shape[:1] == (old,):
+                ext = np.zeros((new,) + arr.shape[1:], arr.dtype)
+                if name in ("mp_map_id", "mp_first_kf", "mp_obs_kf", "mp_obs_idx"):
+                    ext.fill(-1)
+                ext[:old] = arr
+                setattr(self, name, ext)
+        self.cfg.max_mp = new
+
     def add_keyframe(self, R, t, feats, timestamp, vel=None, bias=None,
                      parent=-1, prev=-1) -> int:
         """feats: dict-like with numpy arrays xy, level, angle, desc, valid,
         u_right, depth (Frame features)."""
         k = self.n_kf
         if k >= self.cfg.max_kf:
-            raise RuntimeError("keyframe pool exhausted")
+            self._grow_kf_pool()
         self.kf_R[k] = R
         self.kf_t[k] = t
         if vel is not None:
@@ -124,19 +160,32 @@ class MapState:
         return k
 
     def remove_keyframe(self, kf: int):
-        """SetBadFlag for keyframes (KeyFrame.cc): drop its observations and
-        reconnect the temporal chain."""
+        """SetBadFlag for keyframes (KeyFrame.cc): drop its observations,
+        reconnect the temporal chain, and freeze the relative-to-parent
+        transform mTcp so trajectory export can walk through culled KFs
+        (KeyFrame.cc SetBadFlag: mTcp = Tcw * parent->GetPoseInverse())."""
         for slot in np.nonzero(self.kf_feat_mp[kf] >= 0)[0]:
             self.remove_observation(int(self.kf_feat_mp[kf, slot]), kf)
         self.kf_feat_mp[kf] = -1
         self.kf_valid[kf] = False
-        p, nx = self.kf_prev[kf], self.kf_next[kf]
+        p = int(self.kf_parent[kf])
         if p >= 0:
-            self.kf_next[p] = nx
+            T_c = np.eye(4, dtype=np.float32)
+            T_c[:3, :3] = self.kf_R[kf]
+            T_c[:3, 3] = self.kf_t[kf]
+            T_p_inv = np.eye(4, dtype=np.float32)
+            T_p_inv[:3, :3] = self.kf_R[p].T
+            T_p_inv[:3, 3] = -self.kf_R[p].T @ self.kf_t[p]
+            self.kf_Tcp[kf] = T_c @ T_p_inv
+        pv, nx = self.kf_prev[kf], self.kf_next[kf]
+        if pv >= 0:
+            self.kf_next[pv] = nx
         if nx >= 0:
-            self.kf_prev[nx] = p
-        # re-parent children
-        self.kf_parent[self.kf_parent == kf] = self.kf_parent[kf]
+            self.kf_prev[nx] = pv
+        # re-parent only LIVE children; already-culled KFs keep their frozen
+        # parent pointer so the Tcp chain stays consistent
+        child_mask = (self.kf_parent == kf) & self.kf_valid
+        self.kf_parent[child_mask] = self.kf_parent[kf]
         self.version += 1
 
     # ------------------------------------------------------------------ mps
@@ -148,11 +197,11 @@ class MapState:
         for i in range(n):
             if self._mp_free:
                 m = self._mp_free.pop()
-            elif self.n_mp < self.cfg.max_mp:
+            else:
+                if self.n_mp >= self.cfg.max_mp:
+                    self._grow_mp_pool()
                 m = self.n_mp
                 self.n_mp += 1
-            else:
-                break
             ids[i] = m
         ok = ids >= 0
         idx = ids[ok]

@@ -7,6 +7,7 @@ YAMLs (Examples/*/EuRoC.yaml, TUM-VI.yaml, the fork's orbbec335L_rgbd.yaml)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import cameras
 from ..optim import imu as imu_mod
@@ -24,10 +25,18 @@ def euroc(sensor: int = MONOCULAR):
     calib = None
     if sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
         sf = 200.0 ** 0.5
+        # cam0->body (IMU) extrinsics from the EuRoC sensor.yaml (the
+        # standard ORB-SLAM3 EuRoC Tbc; ~90 deg cam/IMU rotation)
+        Tbc = np.array([
+            [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+            [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+            [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+            [0.0, 0.0, 0.0, 1.0],
+        ], np.float32)
         calib = imu_mod.ImuCalib(
-            Rbc=jnp.eye(3), tbc=jnp.zeros(3),
+            Rbc=jnp.asarray(Tbc[:3, :3]), tbc=jnp.asarray(Tbc[:3, 3]),
             noise_g=1.7e-4 * sf, noise_a=2.0e-3 * sf,
-            walk_g=1.9e-5 * sf, walk_a=3.0e-3 * sf,
+            walk_g=1.9e-5 / sf, walk_a=3.0e-3 / sf,
         )
     return cam, cfg, calib
 
@@ -44,10 +53,17 @@ def tum_vi(sensor: int = IMU_MONOCULAR):
     calib = None
     if sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
         sf = 200.0 ** 0.5
+        # cam0->body extrinsics from the ORB-SLAM3 TUM-VI 512 config
+        Tbc = np.array([
+            [-0.9995250378696743, 0.0296153438858632, -0.0085223282116547, 0.0472798822491439],
+            [0.0075019185074052, 0.0343973606139314, 0.9993800792498829, -0.0474432321433671],
+            [-0.0298901303164331, -0.9989693453701750, 0.0341588512738562, -0.0681999605066297],
+            [0.0, 0.0, 0.0, 1.0],
+        ], np.float32)
         calib = imu_mod.ImuCalib(
-            Rbc=jnp.eye(3), tbc=jnp.zeros(3),
+            Rbc=jnp.asarray(Tbc[:3, :3]), tbc=jnp.asarray(Tbc[:3, 3]),
             noise_g=0.00016 * sf, noise_a=0.0028 * sf,
-            walk_g=2.2e-5 * sf, walk_a=8.6e-4 * sf,
+            walk_g=2.2e-5 / sf, walk_a=8.6e-4 / sf,
         )
     return cam, cfg, calib
 

@@ -27,8 +27,9 @@ class ImuCalib(NamedTuple):
     """IMU noise model + extrinsics (IMU::Calib, ImuTypes.h:70).
 
     Tbc: (R (3,3), t (3,)) camera-to-body transform.
-    noise_g/a: continuous-time noise densities already discretized by the
-    caller as sigma*sqrt(freq) (Settings does the same)."""
+    noise_g/a: continuous-time densities discretized by the caller as
+    sigma*sqrt(freq); walk_g/a as sigma/sqrt(freq) (Tracking.cc:680-681:
+    Calib(Tbc, Ng*sf, Na*sf, Ngw/sf, Naw/sf))."""
 
     Rbc: jnp.ndarray
     tbc: jnp.ndarray
@@ -39,14 +40,14 @@ class ImuCalib(NamedTuple):
 
 
 def default_calib() -> ImuCalib:
-    # EuRoC ADIS16448 discretized noise (sigma * sqrt(rate))
+    # EuRoC ADIS16448: noise sigma*sqrt(rate), walk sigma/sqrt(rate)
     return ImuCalib(
         Rbc=jnp.eye(3, dtype=jnp.float32),
         tbc=jnp.zeros(3, jnp.float32),
         noise_g=1.7e-4 * (200.0 ** 0.5),
         noise_a=2.0e-3 * (200.0 ** 0.5),
-        walk_g=1.9e-5 * (200.0 ** 0.5),
-        walk_a=3.0e-3 * (200.0 ** 0.5),
+        walk_g=1.9e-5 / (200.0 ** 0.5),
+        walk_a=3.0e-3 / (200.0 ** 0.5),
     )
 
 
@@ -132,9 +133,11 @@ def preintegrate(
         B = B.at[0:3, 0:3].set(rightJ * dt)
         B = B.at[3:6, 3:6].set(dR * dt)
         B = B.at[6:9, 3:6].set(0.5 * dR * dt * dt)
+        # walk block grows per SAMPLE with the pre-discretized NgaWalk
+        # (ImuTypes.cc:312 `C.block<6,6>(9,9) += NgaWalk` — no dt factor)
         C9 = A @ C[:9, :9] @ A.T + B @ Nga @ B.T
         C_n = C.at[:9, :9].set(C9)
-        C_n = C_n.at[9:, 9:].add(NgaWalk * dt)
+        C_n = C_n.at[9:, 9:].add(NgaWalk)
 
         J_rg_n = dRi.T @ J_rg - rightJ * dt
 

@@ -12,7 +12,12 @@ Cholesky territory on the MXU.
 
 For the inertial 4-DoF variant, pass dof4=True: roll/pitch and scale are
 frozen by large diagonal priors on those tangent components (the reference
-parameterizes yaw+t directly; freezing is the same fixed-point)."""
+parameterizes yaw+t directly; freezing is the same fixed-point). The
+perturbation is RIGHT-multiplicative on Scw (S' = Scw * exp(xi)), i.e. a
+world-side tangent: its rotation components are rotations about WORLD axes,
+so freezing components 3/4 freezes world roll/pitch about gravity (the
+reference's VertexPose4DoF yaw-in-world parameterization,
+Optimizer.cc:4870)."""
 
 from __future__ import annotations
 
@@ -50,11 +55,11 @@ class PoseGraphProblem(NamedTuple):
 
 
 def _edge_residual(xi_i, xi_j, si, Ri, ti, sj, Rj, tj, ms, mR, mt):
-    """r = log_sim3( S_ij_meas^-1 * (exp(xi_i) S_i) * (exp(xi_j) S_j)^-1 )."""
+    """r = log_sim3( S_ij_meas^-1 * (S_i exp(xi_i)) * (S_j exp(xi_j))^-1 )."""
     dsi, dRi, dti = lie.sim3_exp(xi_i)
     dsj, dRj, dtj = lie.sim3_exp(xi_j)
-    s_i, R_i, t_i = lie.sim3_mul(dsi, dRi, dti, si, Ri, ti)
-    s_j, R_j, t_j = lie.sim3_mul(dsj, dRj, dtj, sj, Rj, tj)
+    s_i, R_i, t_i = lie.sim3_mul(si, Ri, ti, dsi, dRi, dti)
+    s_j, R_j, t_j = lie.sim3_mul(sj, Rj, tj, dsj, dRj, dtj)
     s_ji, R_ji, t_ji = lie.sim3_inv(s_j, R_j, t_j)
     s_rel, R_rel, t_rel = lie.sim3_mul(s_i, R_i, t_i, s_ji, R_ji, t_ji)
     msi, mRi, mti = lie.sim3_inv(ms, mR, mt)
@@ -119,7 +124,7 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20, dof4: bool = Fa
         dx = jnp.where(prob.fixed[:, None], 0.0, dx)
 
         ds, dR, dt = jax.vmap(lie.sim3_exp)(dx)
-        s2, R2, t2 = jax.vmap(lie.sim3_mul)(ds, dR, dt, s, R, t)
+        s2, R2, t2 = jax.vmap(lie.sim3_mul)(s, R, t, ds, dR, dt)
         return (s2, R2, t2), jnp.sum(w * jnp.sum(r * r, -1))
 
     (s, R, t), costs = jax.lax.scan(

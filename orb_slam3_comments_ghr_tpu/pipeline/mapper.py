@@ -47,6 +47,8 @@ class LocalMapper:
         self.viba1_done = False
         self.viba2_done = False
         self.bad_imu = False  # mbBadImu (consumed by the system/tracker)
+        self.last_scale_refine_t = -1e18  # ScaleRefinement cadence clock
+        self._imu_init_failures = 0
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
@@ -162,7 +164,7 @@ class LocalMapper:
                 # insufficient excitation (LocalMapping.cc:1680); after
                 # repeated failures flag bad IMU so the tracker can reset the
                 # active map (mbBadImu, LocalMapping.cc:189-199)
-                self._imu_init_failures = getattr(self, "_imu_init_failures", 0) + 1
+                self._imu_init_failures += 1
                 if self._imu_init_failures > 10:
                     self.bad_imu = True
                 return
@@ -568,6 +570,8 @@ class LocalMapper:
         for cand in m.covisible_kfs(kf, k=10, min_weight=5):
             if cand == kf or not m.kf_valid[cand]:
                 continue
+            if m.kf_parent[cand] < 0:
+                continue  # never cull the map-origin KF (GetInitKFid guard)
             if cand in protected:
                 continue  # last Nd=21 temporal KFs protected (LocalMapping.cc:1197)
             mids = m.kf_feat_mp[cand]

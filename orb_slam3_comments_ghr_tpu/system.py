@@ -207,6 +207,12 @@ class SLAM:
         pipelines, benchmarking without the extractor)."""
         from .utils.profiling import GLOBAL_TIMER as _T
 
+        # IMU-health watchdog: mbBadImu resets the active map from the
+        # tracking side (LocalMapping.cc:191-198, Tracking.cc:2023-2028)
+        if self.mapper.bad_imu:
+            self.mapper.bad_imu = False
+            self.mapper._imu_init_failures = 0
+            self.reset_active_map()
         # deferred world-transform reconciliation from the async mapper
         if self._map_queue is not None and self.mapper.map_transformed:
             self.mapper.map_transformed = False
@@ -309,16 +315,29 @@ class SLAM:
         self.tracker.kf_preint.clear()
 
     def reset_active_map(self):
-        """Drop only the active sub-map (System::ResetActiveMap)."""
+        """Drop only the active sub-map (System::ResetActiveMap); resets the
+        per-map inertial-init staging so a fresh attempt starts clean."""
         m = self.map
         for mp in m.mp_ids():
             m.remove_point(int(mp))
         for kf in m.kf_ids():
             m.kf_valid[kf] = False
             self.kfdb.erase(int(kf))
+        m.map_imu_init[m.active_map] = False
+        m.map_viba1[m.active_map] = False
+        m.map_viba2[m.active_map] = False
+        self.mapper.viba1_done = False
+        self.mapper.viba2_done = False
+        self.mapper.t_imu_init = None
+        self.mapper.recent_mps.clear()
         self.tracker.state = 1
         self.tracker.last_kf = -1
         self.tracker._init_feats = None
+        self.tracker.velocity = None
+        self.tracker.vi_prior = None
+        self.tracker.kf_preint.clear()
+        if self.imu is not None:
+            self.imu.queue.clear()
 
     # ----------------------------------------------------------- persistence
     def save_atlas(self, path: str):
@@ -357,16 +376,19 @@ class SLAM:
             if rec.lost or rec.ref_kf < 0:
                 continue
             ref = rec.ref_kf
-            # walk to a live ancestor if the ref KF was culled
-            T_corr = np.eye(4, dtype=np.float32)
+            # walk to a live ancestor, composing each culled KF's frozen
+            # relative-to-parent transform (Trw = Trw * mTcp chain,
+            # System.cc:760-847, KeyFrame.h:392)
+            T_chain = np.eye(4, dtype=np.float32)
             while ref >= 0 and not self.map.kf_valid[ref]:
+                T_chain = T_chain @ self.map.kf_Tcp[ref]
                 ref = int(self.map.kf_parent[ref])
             if ref < 0:
                 continue
             T_rw = np.eye(4, dtype=np.float32)
             T_rw[:3, :3] = self.map.kf_R[ref]
             T_rw[:3, 3] = self.map.kf_t[ref]
-            out.append((rec.timestamp, rec.T_cr @ T_rw))
+            out.append((rec.timestamp, rec.T_cr @ T_chain @ T_rw))
         return out
 
     def save_keyframe_trajectory_tum(self, path: str):

@@ -88,8 +88,19 @@ class TestRelocalization:
         qbow = slam.voc.bow_vector(word)
         cands = slam.kfdb.detect_relocalization_candidates(qbow, slam.map)
         assert len(cands) > 0
-        # best candidate should be an early keyframe (spatially nearest)
-        assert min(cands) <= 2
+        # a returned candidate must view the query's scene region: its camera
+        # center is among the closer half of keyframes to the query pose
+        m = slam.map
+        R0, t0 = poses[0]
+        c_query = -R0.T @ t0
+        kfs = m.kf_ids()
+        d_all = sorted(
+            float(np.linalg.norm(-m.kf_R[k].T @ m.kf_t[k] - c_query)) for k in kfs
+        )
+        d_best = min(
+            float(np.linalg.norm(-m.kf_R[k].T @ m.kf_t[k] - c_query)) for k in cands
+        )
+        assert d_best <= d_all[len(d_all) // 2]
 
     def test_relocalize_after_kidnap(self):
         slam, world, poses = _run_seq()
