@@ -22,8 +22,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", choices=["euroc", "tum"], required=True)
     ap.add_argument("--root", required=True)
-    ap.add_argument("--sensor", choices=["mono", "stereo", "rgbd", "imu-mono"],
+    ap.add_argument("--sensor",
+                    choices=["mono", "stereo", "rgbd", "imu-mono",
+                             "imu-stereo", "imu-rgbd"],
                     default="mono")
+    ap.add_argument("--settings", default=None,
+                    help="ORB-SLAM3 YAML settings file (v1.0 or legacy "
+                         "schema); overrides the built-in EuRoC intrinsics")
     ap.add_argument("--out", default="trajectory_tum.txt")
     ap.add_argument("--gt", default=None, help="TUM-format ground truth for ATE")
     ap.add_argument("--n-features", type=int, default=1024)
@@ -32,29 +37,44 @@ def main(argv=None):
                     help="directory for map/frame PNG renders (Viewer analog)")
     args = ap.parse_args(argv)
 
+    from dataclasses import replace
+
     from ..ops import cameras
     from ..system import SLAM
     from ..utils.config import (
-        SlamConfig, MONOCULAR, STEREO, RGBD, IMU_MONOCULAR,
+        SlamConfig, MONOCULAR, STEREO, RGBD, IMU_MONOCULAR, IMU_STEREO,
+        IMU_RGBD,
     )
     from . import datasets
 
     sensor = {
         "mono": MONOCULAR, "stereo": STEREO, "rgbd": RGBD,
-        "imu-mono": IMU_MONOCULAR,
+        "imu-mono": IMU_MONOCULAR, "imu-stereo": IMU_STEREO,
+        "imu-rgbd": IMU_RGBD,
     }[args.sensor]
-    cam = cameras.euroc_cam0()
-    # init-match gate scales with the feature budget (reference: 100 @ ~1000)
-    cfg = SlamConfig(
-        sensor=sensor, n_features=args.n_features,
-        min_init_matches=max(40, args.n_features // 10),
-    )
-    slam = SLAM(cam, cfg)
+    imu_calib = None
+    if args.settings:
+        # Settings-file path (Settings.cc): camera intrinsics, stereo bf,
+        # ORB budget, and IMU noise/extrinsics all come from the YAML
+        from .config_yaml import load_settings
 
-    if args.dataset == "euroc":
-        ds = datasets.EurocDataset(
-            args.root, stereo=(sensor == STEREO), imu=(sensor == IMU_MONOCULAR)
+        cam, cfg, imu_calib = load_settings(args.settings, sensor=sensor)
+        cfg = replace(
+            cfg, min_init_matches=max(40, cfg.n_features // 10),
         )
+    else:
+        cam = cameras.euroc_cam0()
+        # init-match gate scales with the feature budget (ref: 100 @ ~1000)
+        cfg = SlamConfig(
+            sensor=sensor, n_features=args.n_features,
+            min_init_matches=max(40, args.n_features // 10),
+        )
+    slam = SLAM(cam, cfg, imu_calib=imu_calib)
+
+    use_stereo = sensor in (STEREO, IMU_STEREO)
+    use_imu = cfg.is_inertial
+    if args.dataset == "euroc":
+        ds = datasets.EurocDataset(args.root, stereo=use_stereo, imu=use_imu)
     else:
         ds = datasets.TumRgbdDataset(args.root)
 
@@ -65,9 +85,9 @@ def main(argv=None):
             break
         if fr.imu is not None and len(fr.imu):
             slam.feed_imu(fr.imu)
-        if sensor == STEREO and fr.img_right is not None:
+        if use_stereo and fr.img_right is not None:
             pose = slam.track_stereo(fr.img, fr.img_right, fr.timestamp)
-        elif sensor == RGBD and fr.depth is not None:
+        elif sensor in (RGBD, IMU_RGBD) and fr.depth is not None:
             pose = slam.track_rgbd(fr.img, fr.depth, fr.timestamp)
         else:
             pose = slam.track_monocular(fr.img, fr.timestamp)

@@ -130,7 +130,12 @@ class LoopCloser:
             return None
         idx, dist, ok = matching.search_by_window(
             jnp.asarray(m.kf_feat_desc[kf]), jnp.asarray(m.kf_feat_desc[cand]),
-            jnp.asarray(mask), th=matching.TH_LOW, ratio=0.75,
+            jnp.asarray(mask), th=matching.TH_LOW, ratio=0.9,
+        )
+        # rotation-histogram check (matcherBoW(0.9, true), LoopClosing.cc:816)
+        ok = matching.rotation_consistency(
+            jnp.asarray(m.kf_feat_angle[kf]), jnp.asarray(m.kf_feat_angle[cand]),
+            idx, ok,
         )
         idx_np, ok_np = device_fetch((idx, ok))
         if ok_np.sum() < 20:

@@ -191,6 +191,46 @@ def extract_and_track(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "extract_cam", "n_features", "n_levels", "scale", "ini_th", "min_th",
+        "undistort",
+    ),
+)
+def extract_only(
+    extract_cam: cameras.Camera,
+    img: jnp.ndarray,
+    n_features: int = 1024,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    ini_th: float = 20.0,
+    min_th: float = 7.0,
+    undistort: bool = False,
+):
+    """Extraction half of the per-frame program, dispatched on its own for the
+    CROSS-FRAME pipeline: frame N+1's pyramid/FAST/BRIEF runs on device while
+    the host does frame N's map bookkeeping (the reference overlaps these via
+    its Tracking/LocalMapping threads; here the overlap is device-vs-host
+    within the tracking loop)."""
+    from ..frontend.batched import extract_batched
+
+    feats = extract_batched(
+        img, n_features=n_features, n_levels=n_levels, scale=scale,
+        ini_th=ini_th, min_th=min_th,
+    )
+    if undistort:
+        feats = feats._replace(xy=cameras.undistort_points(extract_cam, feats.xy))
+    return feats
+
+
+track_only = jax.jit(
+    track_against_points,
+    static_argnames=("cam", "th", "n_levels", "scale", "iters_per_round",
+                     "use_pallas"),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "extract_cam", "geom_cam", "n_features", "n_levels", "scale",
         "ini_th", "min_th", "th", "undistort", "use_pallas",
     ),

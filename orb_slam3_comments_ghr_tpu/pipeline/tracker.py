@@ -92,6 +92,10 @@ class Tracker:
         self.pending_kf: Optional[int] = None  # set when a KF was created
         self.localization_only = False  # ActivateLocalizationMode (System.h:123)
         self._rng = np.random.default_rng(0)
+        # mapper backpressure probe (KeyframesInQueue, Tracking.cc:3904);
+        # wired by the system when async mapping is on
+        self.queue_probe = None
+        self.last_reloc_frame = -(10 ** 9)  # mnLastRelocFrameId
 
     # ---------------------------------------------------------------- public
     def prepare_frame(self, timestamp: float):
@@ -151,7 +155,9 @@ class Tracker:
             # visual relocalization ladder (Tracking.cc:4444)
             if self._relocalize(feats):
                 self.state = OK
+                self.last_reloc_frame = self.frame_id
         ok = self._track_frame(feats, timestamp)
+        dead_reckon = False
         if ok:
             self.state = OK
             self.lost_since = 0.0
@@ -160,6 +166,7 @@ class Tracker:
                 # keep dead-reckoning so visual tracking can re-latch
                 # (Tracking.cc:2256-2272 RECENTLY_LOST IMU path)
                 self.last_R, self.last_t = self._last_prediction
+                dead_reckon = True
             if self.state == OK:
                 self.state = RECENTLY_LOST
                 self.lost_since = timestamp
@@ -171,6 +178,12 @@ class Tracker:
         self.last_time = timestamp
         self.last_feats = feats
         if ok:
+            self._record_frame(timestamp, lost=False)
+            return self._current_pose()
+        if dead_reckon and self.state == RECENTLY_LOST:
+            # the reference keeps PUBLISHING IMU-predicted poses for up to
+            # 5 s while recently lost (Tracking.cc:2256-2272); the frame is
+            # recorded against the last reference KF so export includes it
             self._record_frame(timestamp, lost=False)
             return self._current_pose()
         self._record_frame(timestamp, lost=True)
@@ -488,7 +501,22 @@ class Tracker:
         res = programs.TrackResult(*device_fetch(tuple(res)))
         n_inl = int(res.n_inliers)
         if n_inl < cfg.min_track_matches:
-            return False
+            # TrackReferenceKeyFrame fallback (Tracking.cc:3254, called from
+            # :2210/:2220 when the motion-model projection track fails):
+            # BoW-node matching against the reference KF + pose-only LM, then
+            # a wide local-map re-track from the recovered pose
+            if not self._track_reference_kf(feats):
+                return False
+            lp, ids = self._local_points_view()
+            res = programs.track_against_points(
+                self.cam, feats, lp,
+                jnp.asarray(self.last_R), jnp.asarray(self.last_t),
+                th=3.0, n_levels=cfg.n_levels, scale=cfg.scale_factor,
+            )
+            res = programs.TrackResult(*device_fetch(tuple(res)))
+            n_inl = int(res.n_inliers)
+            if n_inl < cfg.min_track_matches:
+                return False
 
         prev_pose = self._current_pose()
         prev_R, prev_t = self.last_R.copy(), self.last_t.copy()
@@ -512,10 +540,13 @@ class Tracker:
         m.mp_found[ids[inl]] += 1
 
         self.frames_since_kf += 1
+        n_ct = n_cu = 0
+        if not cfg.is_mono:
+            n_ct, n_cu = self._close_point_counts(feats, res, ids)
         if (
             not self.localization_only
             and n_inl >= cfg.min_local_inliers
-            and self._need_new_kf(n_inl)
+            and self._need_new_kf(n_inl, timestamp, n_ct, n_cu)
         ):
             self._create_new_kf(feats, timestamp, res, ids)
         return n_inl >= (cfg.min_local_inliers if self.state == OK else cfg.min_track_matches)
@@ -589,14 +620,126 @@ class Tracker:
             self.imu.bias = st_np.bias
             self.vi_prior = nxt
 
-    def _need_new_kf(self, n_inl: int) -> bool:
-        """NeedNewKeyFrame (Tracking.cc:3726) reduced to the mono conditions:
-        c1a (max frames), c2 (tracked ratio vs reference KF)."""
+    def _track_reference_kf(self, feats: frontend.Features) -> bool:
+        """TrackReferenceKeyFrame (Tracking.cc:3254): BoW-node-constrained
+        matching of the frame's features against the reference KF's map-point
+        features (SearchByBoW, ORBmatcher.cc:262, ratio 0.7 + rotation
+        histogram) followed by pose-only LM from the last pose. Returns True
+        and updates last_R/t on >=10 inliers."""
         m = self.map
-        ref_matches = int((m.kf_feat_mp[self.last_kf] >= 0).sum())
-        c1a = self.frames_since_kf >= self.cfg.max_frames_between_kf
-        c2 = n_inl < self.cfg.kf_ref_ratio * max(ref_matches, 1) and n_inl > 15
-        return (c1a or c2) and self.frames_since_kf > self.cfg.min_frames_between_kf
+        kf = self.last_kf
+        if kf < 0 or self.kfdb is None or not m.kf_valid[kf]:
+            return False
+        kf_node = self.kfdb.kf_node.get(kf)
+        if kf_node is None:
+            return False
+        desc = np.asarray(feats.desc)
+        valid = np.asarray(feats.valid)
+        word, node = self.kfdb.voc.transform(desc, valid)
+        has_mp = m.kf_feat_mp[kf] >= 0
+        mask = (
+            (node[:, None] == kf_node[None, :])
+            & (node[:, None] >= 0)
+            & has_mp[None, :]
+            & valid[:, None]
+        )
+        if mask.sum() < 15:
+            return False
+        idx, dist, ok = matching.search_by_window(
+            feats.desc, jnp.asarray(m.kf_feat_desc[kf]), jnp.asarray(mask),
+            th=matching.TH_LOW, ratio=0.7,
+        )
+        ok = matching.rotation_consistency(
+            feats.angle, jnp.asarray(m.kf_feat_angle[kf]), idx, ok
+        )
+        idx_np, ok_np = device_fetch((idx, ok))
+        if ok_np.sum() < 15:
+            return False
+        mp = m.kf_feat_mp[kf, idx_np]
+        pv = ok_np & (mp >= 0) & m.mp_valid[np.maximum(mp, 0)]
+        obs = pose_opt.PoseObs(
+            p_world=jnp.asarray(m.mp_pos[np.maximum(mp, 0)]),
+            uv=feats.xy, u_right=feats.u_right, level=feats.level,
+            valid=jnp.asarray(pv),
+        )
+        R, t, inl, n = pose_opt.optimize_pose(
+            self.cam, jnp.asarray(self.last_R), jnp.asarray(self.last_t), obs
+        )
+        R_np, t_np, n = device_fetch((R, t, n))
+        if int(n) < 10:
+            return False
+        self.last_R = np.asarray(R_np)
+        self.last_t = np.asarray(t_np)
+        return True
+
+    def _close_point_counts(self, feats, res, ids) -> tuple[int, int]:
+        """Stereo/RGB-D close-point census for NeedNewKeyFrame c1c
+        (Tracking.cc:3774-3821): tracked vs untracked features with measured
+        depth below ThDepth."""
+        depth = np.asarray(feats.depth)
+        fvalid = np.asarray(feats.valid)
+        th_d = self.cam.baseline * self.cfg.depth_th_factor
+        if th_d <= 0:
+            th_d = np.inf
+        close = fvalid & (depth > 0) & (depth < th_d)
+        matched = np.zeros(depth.shape[0], bool)
+        mf = np.asarray(res.match_feat)[: len(ids)]
+        inl = np.asarray(res.inlier)[: len(ids)]
+        sel = inl & (mf >= 0)
+        matched[mf[sel]] = True
+        return int((close & matched).sum()), int((close & ~matched).sum())
+
+    def _need_new_kf(self, n_inl: int, timestamp: float,
+                     n_close_tracked: int = 0, n_close_untracked: int = 0) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:3726-3924), full condition set:
+        c1a (max frames), c1b (min frames + mapper idle), c1c (stereo
+        close-point deficit), c2 (tracked ratio vs reference KF's
+        well-observed points), inertial c3 (>=0.5 s since last KF), mono-IMU
+        c4 (15<inliers<75 or recently lost), plus the pre-IMU-init 0.25 s
+        cadence and the KeyframesInQueue()<3 backpressure gate."""
+        cfg = self.cfg
+        m = self.map
+        if self.localization_only:
+            return False
+        nkfs = len(m.kf_ids())
+        # don't insert right after a relocalization (Tracking.cc:3742)
+        if (
+            self.frame_id < self.last_reloc_frame + cfg.max_frames_between_kf
+            and nkfs > cfg.max_frames_between_kf
+        ):
+            return False
+        imu_init = m.map_imu_init.get(m.active_map, False)
+        if cfg.is_inertial and not imu_init:
+            # pre-init cadence: one KF every 0.25 s (Tracking.cc:3733-3736)
+            return (timestamp - self.last_kf_time) >= 0.25
+        queue_len = self.queue_probe() if self.queue_probe is not None else 0
+        mapper_idle = queue_len == 0
+        # nRefMatches: reference KF's map points with >= minObs observations
+        mids = m.kf_feat_mp[self.last_kf]
+        mids = mids[mids >= 0]
+        min_obs = 3 if nkfs > 2 else 2
+        ref_matches = int((m.mp_n_obs[mids] >= min_obs).sum())
+        th_ref = cfg.kf_ref_ratio if cfg.is_mono else 0.75
+        if nkfs < 2:
+            th_ref = 0.4
+        need_close = (n_close_tracked < 100) and (n_close_untracked > 70)
+        c1a = self.frames_since_kf >= cfg.max_frames_between_kf
+        c1b = self.frames_since_kf >= cfg.min_frames_between_kf and mapper_idle
+        c1c = (not cfg.is_mono) and (
+            n_inl < ref_matches * 0.25 or need_close
+        )
+        c2 = (n_inl < ref_matches * th_ref or need_close) and n_inl > 15
+        c3 = cfg.is_inertial and (timestamp - self.last_kf_time) >= 0.5
+        c4 = (
+            cfg.sensor == 3  # IMU_MONOCULAR
+            and ((15 < n_inl < 75) or self.state == RECENTLY_LOST)
+        )
+        if not (((c1a or c1b or c1c) and c2) or c3 or c4):
+            return False
+        if mapper_idle:
+            return True
+        # mapper busy: non-mono may still queue up to 3 KFs (Tracking.cc:3904)
+        return (not cfg.is_mono) and queue_len < 3
 
     def _create_new_kf(self, feats, timestamp, res, ids):
         m = self.map
@@ -658,6 +801,10 @@ class Tracker:
             idx, dist, ok = matching.search_by_window(
                 feats.desc, jnp.asarray(m.kf_feat_desc[kf]), jnp.asarray(mask),
                 th=matching.TH_LOW, ratio=0.75,
+            )
+            # rotation-histogram check (matcher(0.75, true), Tracking.cc:4469)
+            ok = matching.rotation_consistency(
+                feats.angle, jnp.asarray(m.kf_feat_angle[kf]), idx, ok
             )
             ok_np = np.asarray(ok)
             if ok_np.sum() < 15:

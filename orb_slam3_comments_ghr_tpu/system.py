@@ -64,12 +64,15 @@ class SLAM:
         self.loopcloser = LoopCloser(self.geom_cam, self.cfg, self.map,
                                      self.kfdb, self.mapper)
         self._empty_lp = None
+        self._pipeline_pending = None
         self._map_queue = None
         self._map_worker = None
         if self.cfg.async_mapping:
             import queue as _q
             import threading
             self._map_queue = _q.Queue(maxsize=3)  # backpressure (P5)
+            # KeyframesInQueue probe for NeedNewKeyFrame (Tracking.cc:3904)
+            self.tracker.queue_probe = self._map_queue.qsize
             self._map_worker = threading.Thread(
                 target=self._mapping_worker, daemon=True
             )
@@ -121,6 +124,73 @@ class SLAM:
         return self.track_features(
             feats, timestamp, precomputed=(res,) if ready else None
         )
+
+    def track_monocular_pipelined(self, img, timestamp: float,
+                                  imu_samples=None) -> Optional[np.ndarray]:
+        """Cross-frame pipelined monocular tracking: submits this frame's
+        extraction to the device immediately and completes the PREVIOUS
+        frame (projection track + pose LM + map bookkeeping), so frame N+1's
+        ORB extraction overlaps frame N's host-side bookkeeping. Returns the
+        previous frame's pose (one-frame output latency); call
+        `flush_pipeline()` after the last frame to retire it.
+
+        Dispatch order per call: track-N (small) -> extract-(N+1) (large),
+        then fetch track-N; the device runs extract-(N+1) while the host
+        updates the map for frame N."""
+        from .pipeline import programs
+
+        if imu_samples is not None:
+            self.feed_imu(imu_samples)
+        img = jnp.asarray(img)
+        out = None
+        if self._pipeline_pending is not None:
+            feats_prev, ts_prev = self._pipeline_pending
+            self._pipeline_pending = None
+            ready, lp, ids, R0, t0 = self.tracker.prepare_frame(ts_prev)
+            res = None
+            if ready:
+                res = programs.track_only(
+                    self.geom_cam, feats_prev, lp, R0, t0,
+                    n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+                    use_pallas=self.use_pallas,
+                )
+            # device: extract-(N+1) queues behind track-N; host: bookkeeping
+            feats_next = programs.extract_only(
+                self.cam, img, n_features=self.cfg.n_features,
+                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+                ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+                undistort=self.cam.kind != cameras.PINHOLE,
+            )
+            out = self.track_features(
+                feats_prev, ts_prev, precomputed=(res,) if ready else None
+            )
+        else:
+            feats_next = programs.extract_only(
+                self.cam, img, n_features=self.cfg.n_features,
+                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+                ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+                undistort=self.cam.kind != cameras.PINHOLE,
+            )
+        self._pipeline_pending = (feats_next, timestamp)
+        return out
+
+    def flush_pipeline(self) -> Optional[np.ndarray]:
+        """Retire the in-flight frame of the pipelined tracking path."""
+        from .pipeline import programs
+
+        if self._pipeline_pending is None:
+            return None
+        feats, ts = self._pipeline_pending
+        self._pipeline_pending = None
+        ready, lp, ids, R0, t0 = self.tracker.prepare_frame(ts)
+        res = None
+        if ready:
+            res = programs.track_only(
+                self.geom_cam, feats, lp, R0, t0,
+                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+                use_pallas=self.use_pallas,
+            )
+        return self.track_features(feats, ts, precomputed=(res,) if ready else None)
 
     def track_stereo(self, img_left, img_right, timestamp: float,
                      imu_samples=None) -> Optional[np.ndarray]:

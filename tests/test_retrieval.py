@@ -64,9 +64,12 @@ class TestVocabulary:
         assert cross < self_score
 
 
-def _run_seq(n_frames=30, world_seed=5):
-    world = synthetic.make_world(world_seed, n_points=3000)
-    poses = synthetic.circular_trajectory(n_frames)
+def _run_seq(n_frames=60, world_seed=5):
+    # outward panorama over a ring world: every heading sees different
+    # structure, so the reference-faithful KF policy (c2 tracked-ratio gate)
+    # distributes keyframes along the arc and retrieval is discriminative
+    world = synthetic.make_ring_world(world_seed)
+    poses = synthetic.circular_trajectory(n_frames, arc=0.7, outward=True)
     cfg = SlamConfig(
         n_features=512, local_points_cap=2048, local_ba_points=2048,
         max_frames_between_kf=6, min_init_matches=60,
