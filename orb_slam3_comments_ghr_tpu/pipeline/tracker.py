@@ -98,20 +98,38 @@ class Tracker:
         self.last_reloc_frame = -(10 ** 9)  # mnLastRelocFrameId
 
     # ---------------------------------------------------------------- public
-    def prepare_frame(self, timestamp: float):
+    def prepare_frame(self, timestamp: float, steps: int = 1):
         """Pre-compute what the fused per-frame program needs: timestamp
         fault handling, IMU preintegration, pose prediction and the local
         point view. Returns (ready, lp, ids, R0, t0): ready=False means the
-        caller must use the non-fused path (init / reloc / wide search)."""
+        caller must use the non-fused path (init / reloc / wide search).
+
+        `steps` is the motion-model horizon: the deep pipeline prepares frame
+        N while bookkeeping is only complete through frame N-steps, so the
+        constant-velocity prediction composes `steps` frame deltas."""
         self._run_frame_prologue(timestamp)
         self._prepared_ts = timestamp
         if self.state != OK or self.last_kf < 0:
             return False, None, None, None, None
-        R0, t0 = self._predict_pose()
+        R0, t0 = self._predict_pose(steps=steps)
         self._last_prediction = (R0.copy(), t0.copy())
         lp, ids = self._local_points_view()
         self._prepared = (lp, ids, R0, t0)
         return True, lp, ids, jnp.asarray(R0), jnp.asarray(t0)
+
+    def capture_frame_context(self):
+        """Snapshot the per-frame prologue/preparation state so a deep
+        pipeline can interleave prepare_frame(N) with the deferred
+        bookkeeping of frame N-depth (see System.track_monocular_pipelined).
+        Restore with restore_frame_context right before track()."""
+        return (
+            getattr(self, "_prepared_ts", None),
+            getattr(self, "_prepared", None),
+            self._pre_frame,
+        )
+
+    def restore_frame_context(self, ctx):
+        self._prepared_ts, self._prepared, self._pre_frame = ctx
 
     def _run_frame_prologue(self, timestamp: float):
         self.pending_kf = None
@@ -463,9 +481,11 @@ class Tracker:
             and self._pre_frame is not None
         )
 
-    def _predict_pose(self) -> tuple[np.ndarray, np.ndarray]:
+    def _predict_pose(self, steps: int = 1) -> tuple[np.ndarray, np.ndarray]:
         if self._imu_ready():
             # dead-reckon the body state from the last frame (PredictStateIMU)
+            # — the IMU preintegration window already spans up to the current
+            # frame's timestamp, so no extra `steps` composition is needed
             Rwb = np.asarray(self.last_R).T
             pwb = -Rwb @ np.asarray(self.last_t)
             Rp, pp, vp = imu_mod.predict_state(
@@ -477,15 +497,23 @@ class Tracker:
             Rcw = Rp.T
             return Rcw.copy(), (-Rcw @ pp).copy()
         if self.velocity is not None:
-            T = self.velocity @ self._current_pose()
+            T = self._current_pose()
+            for _ in range(max(1, steps)):
+                T = self.velocity @ T
             return T[:3, :3].copy(), T[:3, 3].copy()
         return self.last_R.copy(), self.last_t.copy()
 
     def _track_frame(self, feats: frontend.Features, timestamp: float) -> bool:
         cfg = self.cfg
         if self._precomputed is not None and self.state == OK:
-            res = self._precomputed[0]
-            lp, ids, R0, t0 = self._prepared
+            # (res,) uses the state captured by the matching prepare_frame;
+            # (res, prepared) carries it explicitly (deep pipeline, where
+            # several frames are prepared before this one is bookkept)
+            if len(self._precomputed) == 2:
+                res, (lp, ids, R0, t0) = self._precomputed
+            else:
+                res = self._precomputed[0]
+                lp, ids, R0, t0 = self._prepared
             self._precomputed = None
         else:
             R0, t0 = self._predict_pose()
@@ -497,8 +525,10 @@ class Tracker:
                 th=3.0 if wide else 1.0,
                 n_levels=cfg.n_levels, scale=cfg.scale_factor,
             )
-        # ONE host<->device round trip for the whole result
-        res = programs.TrackResult(*device_fetch(tuple(res)))
+        # ONE host<->device round trip for the whole result (skipped when the
+        # deep pipeline already harvested it via an async fetch)
+        if not isinstance(res[0], np.ndarray):
+            res = programs.TrackResult(*device_fetch(tuple(res)))
         n_inl = int(res.n_inliers)
         if n_inl < cfg.min_track_matches:
             # TrackReferenceKeyFrame fallback (Tracking.cc:3254, called from

@@ -64,7 +64,7 @@ class SLAM:
         self.loopcloser = LoopCloser(self.geom_cam, self.cfg, self.map,
                                      self.kfdb, self.mapper)
         self._empty_lp = None
-        self._pipeline_pending = None
+        self._pipe: list[dict] = []  # in-flight frames (deep pipeline)
         self._map_queue = None
         self._map_worker = None
         if self.cfg.async_mapping:
@@ -127,70 +127,109 @@ class SLAM:
 
     def track_monocular_pipelined(self, img, timestamp: float,
                                   imu_samples=None) -> Optional[np.ndarray]:
-        """Cross-frame pipelined monocular tracking: submits this frame's
-        extraction to the device immediately and completes the PREVIOUS
-        frame (projection track + pose LM + map bookkeeping), so frame N+1's
-        ORB extraction overlaps frame N's host-side bookkeeping. Returns the
-        previous frame's pose (one-frame output latency); call
-        `flush_pipeline()` after the last frame to retire it.
+        """Deep-pipelined monocular tracking for a REMOTE-attached device.
 
-        Dispatch order per call: track-N (small) -> extract-(N+1) (large),
-        then fetch track-N; the device runs extract-(N+1) while the host
-        updates the map for frame N."""
+        Motivation (measured on the tunneled TPU): a device->host Get costs
+        ~30 ms of LATENCY regardless of size, while dispatches and syncs cost
+        ~0.1 ms. The synchronous tracker pays that latency once per frame.
+        Here every per-frame fetch (features for keyframe bookkeeping, the
+        projection-track result) is started as an ASYNC copy at dispatch time
+        and harvested `pipeline_depth` calls later, by which point the bytes
+        have long arrived — the tunnel latency disappears from the critical
+        path and throughput approaches the pure device-compute rate.
+
+        Per call: retire the oldest in-flight frame (harvest its result +
+        map bookkeeping, returning its pose — output latency is
+        `pipeline_depth` frames), then dispatch this frame's extraction AND
+        projection-track in one go (the track program chains on the
+        extraction's device buffers without any host round trip). The
+        motion-model prediction composes `depth` frame deltas since
+        bookkeeping lags that far behind. Call `flush_pipeline()` after the
+        last frame.
+
+        The reference hides the same latencies with its Tracking /
+        LocalMapping thread overlap (SURVEY §2.3 P1); a lagged deep pipeline
+        is the XLA-native equivalent for a single async device stream."""
         from .pipeline import programs
+        from .utils.fetch import device_fetch_async
 
         if imu_samples is not None:
             self.feed_imu(imu_samples)
-        img = jnp.asarray(img)
         out = None
-        if self._pipeline_pending is not None:
-            feats_prev, ts_prev = self._pipeline_pending
-            self._pipeline_pending = None
-            ready, lp, ids, R0, t0 = self.tracker.prepare_frame(ts_prev)
-            res = None
-            if ready:
-                res = programs.track_only(
-                    self.geom_cam, feats_prev, lp, R0, t0,
-                    n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
-                    use_pallas=self.use_pallas,
-                )
-            # device: extract-(N+1) queues behind track-N; host: bookkeeping
-            feats_next = programs.extract_only(
-                self.cam, img, n_features=self.cfg.n_features,
-                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
-                ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
-                undistort=self.cam.kind != cameras.PINHOLE,
-            )
-            out = self.track_features(
-                feats_prev, ts_prev, precomputed=(res,) if ready else None
-            )
-        else:
-            feats_next = programs.extract_only(
-                self.cam, img, n_features=self.cfg.n_features,
-                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
-                ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
-                undistort=self.cam.kind != cameras.PINHOLE,
-            )
-        self._pipeline_pending = (feats_next, timestamp)
-        return out
-
-    def flush_pipeline(self) -> Optional[np.ndarray]:
-        """Retire the in-flight frame of the pipelined tracking path."""
-        from .pipeline import programs
-
-        if self._pipeline_pending is None:
-            return None
-        feats, ts = self._pipeline_pending
-        self._pipeline_pending = None
-        ready, lp, ids, R0, t0 = self.tracker.prepare_frame(ts)
-        res = None
+        if len(self._pipe) >= self.cfg.pipeline_depth:
+            out = self._retire_oldest()
+        img = jnp.asarray(img)
+        feats = programs.extract_only(
+            self.cam, img, n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+            ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+            undistort=self.cam.kind != cameras.PINHOLE,
+        )
+        feats_fetch = device_fetch_async(feats)
+        steps = len(self._pipe) + 1
+        prev = self._pipe[-1] if self._pipe else None
+        ready, lp, ids, R0, t0 = self.tracker.prepare_frame(
+            timestamp, steps=steps
+        )
+        res_fetch = prepared = res_dev = None
         if ready:
+            # pose seed: chain on the PREVIOUS frame's device-resident track
+            # result (one velocity step ahead) instead of extrapolating the
+            # host pose `steps` frames — the prediction is then never more
+            # than one frame stale, whatever the pipeline depth. Falls back
+            # to the host prediction when the chained frame tracked thin.
+            if prev is not None and prev.get("res_dev") is not None:
+                pres = prev["res_dev"]
+                vel = self.tracker.velocity
+                if vel is not None:
+                    vR = jnp.asarray(vel[:3, :3].astype(np.float32))
+                    vt = jnp.asarray(vel[:3, 3].astype(np.float32))
+                    Rc, tc = vR @ pres.R, vR @ pres.t + vt
+                else:
+                    Rc, tc = pres.R, pres.t
+                good = pres.n_inliers >= self.cfg.min_track_matches
+                R0 = jnp.where(good, Rc, R0)
+                t0 = jnp.where(good, tc, t0)
             res = programs.track_only(
                 self.geom_cam, feats, lp, R0, t0,
+                th=2.0 if steps > 1 else 1.0,
                 n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
                 use_pallas=self.use_pallas,
             )
-        return self.track_features(feats, ts, precomputed=(res,) if ready else None)
+            res_dev = res
+            res_fetch = device_fetch_async(tuple(res))
+            prepared = self.tracker._prepared
+        self._pipe.append({
+            "ts": timestamp,
+            "feats_fetch": feats_fetch,
+            "res_fetch": res_fetch,
+            "res_dev": res_dev,
+            "prepared": prepared,
+            "ctx": self.tracker.capture_frame_context(),
+        })
+        return out
+
+    def _retire_oldest(self) -> Optional[np.ndarray]:
+        """Harvest the oldest in-flight frame's async fetches and run its
+        deferred map bookkeeping."""
+        from .pipeline import programs
+
+        e = self._pipe.pop(0)
+        feats_host = e["feats_fetch"].get()
+        self.tracker.restore_frame_context(e["ctx"])
+        pre = None
+        if e["res_fetch"] is not None:
+            res = programs.TrackResult(*e["res_fetch"].get())
+            pre = (res, e["prepared"])
+        return self.track_features(feats_host, e["ts"], precomputed=pre)
+
+    def flush_pipeline(self) -> Optional[np.ndarray]:
+        """Retire all in-flight frames of the pipelined tracking path;
+        returns the last frame's pose."""
+        out = None
+        while self._pipe:
+            out = self._retire_oldest()
+        return out
 
     def track_stereo(self, img_left, img_right, timestamp: float,
                      imu_samples=None) -> Optional[np.ndarray]:

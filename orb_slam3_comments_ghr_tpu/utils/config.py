@@ -48,6 +48,11 @@ class SlamConfig:
     async_mapping: bool = False          # LocalMapping/LoopClosing in a worker
                                          # thread (the reference's pipeline
                                          # parallelism); off = deterministic
+    pipeline_depth: int = 3              # in-flight frames in the deep
+                                         # pipeline (track_monocular_pipelined):
+                                         # bookkeeping/output lag by this many
+                                         # frames; each extra level hides one
+                                         # more device->host latency window
     # recovery (5.3)
     recently_lost_secs: float = 5.0
 

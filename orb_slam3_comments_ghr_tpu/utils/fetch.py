@@ -62,20 +62,19 @@ def _make_packer(n_leaves):
     return pack
 
 
-def device_fetch(tree):
-    """Fetch a pytree of (device or host) arrays as numpy with ONE device
-    round trip. Original dtypes are restored (f64/i64 leaves come back as
-    their 32-bit counterparts — device arrays are 32-bit under default jax
-    config anyway)."""
+def _pack(tree):
+    """Pack a pytree into one device uint32 buffer; returns (buf, leaves,
+    treedef)."""
     leaves, treedef = jax.tree.flatten(tree)
-    if not leaves:
-        return tree
     sig = (treedef, tuple((jnp.shape(x), str(jnp.asarray(x).dtype)) for x in leaves))
     entry = _PACKER_CACHE.get(sig)
     if entry is None:
         entry = _make_packer(len(leaves))
         _PACKER_CACHE[sig] = entry
-    buf = np.asarray(entry(*leaves))  # single transfer
+    return entry(*leaves), leaves, treedef
+
+
+def _unpack(buf: np.ndarray, leaves, treedef):
     out = []
     off = 0
     for x in leaves:
@@ -90,3 +89,54 @@ def device_fetch(tree):
             seg = seg.astype(orig)
         out.append(seg)
     return jax.tree.unflatten(treedef, out)
+
+
+def device_fetch(tree):
+    """Fetch a pytree of (device or host) arrays as numpy with ONE device
+    round trip. Original dtypes are restored (f64/i64 leaves come back as
+    their 32-bit counterparts — device arrays are 32-bit under default jax
+    config anyway)."""
+    leaves, _ = jax.tree.flatten(tree)
+    if not leaves:
+        return tree
+    buf, leaves, treedef = _pack(tree)
+    return _unpack(np.asarray(buf), leaves, treedef)
+
+
+class AsyncFetch:
+    """In-flight device->host fetch: the transfer was started with
+    `copy_to_host_async`; `get()` blocks only for whatever latency remains.
+    Over the tunneled TPU a Get costs ~30 ms of LATENCY regardless of size —
+    starting it early and harvesting a frame later hides it completely."""
+
+    __slots__ = ("_buf", "_leaves", "_treedef", "_result")
+
+    def __init__(self, buf, leaves, treedef):
+        self._buf = buf
+        self._leaves = leaves
+        self._treedef = treedef
+        self._result = None
+
+    def ready(self) -> bool:
+        if self._result is not None:
+            return True
+        try:
+            return bool(self._buf.is_ready())
+        except AttributeError:  # CPU arrays / older jax: treat as ready
+            return True
+
+    def get(self):
+        if self._result is None:
+            self._result = _unpack(np.asarray(self._buf), self._leaves, self._treedef)
+            self._buf = None
+        return self._result
+
+
+def device_fetch_async(tree) -> AsyncFetch:
+    """Start a one-buffer async fetch of `tree`; harvest with .get()."""
+    buf, leaves, treedef = _pack(tree)
+    try:
+        buf.copy_to_host_async()
+    except AttributeError:
+        pass
+    return AsyncFetch(buf, leaves, treedef)

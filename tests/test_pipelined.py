@@ -44,15 +44,18 @@ class TestPipelinedMono:
         rmse = evaluation.ate_rmse(traj, gt, with_scale=True)
         assert rmse < 0.05, rmse
 
-    def test_pipeline_latency_is_one_frame(self):
-        """First call returns None (frame in flight); flush retires it."""
+    def test_pipeline_latency_is_depth_frames(self):
+        """The first `pipeline_depth` calls return None (frames in flight);
+        flush retires them all."""
         scene = synthetic.make_textured_scene(61)
-        poses = synthetic.circular_trajectory(4)
+        poses = synthetic.circular_trajectory(6)
         slam = SLAM(CAM, _cfg())
-        img0 = synthetic.render_image(scene, CAM, *poses[0])
-        assert slam.track_monocular_pipelined(jnp.asarray(img0), 0.0) is None
-        # flushing processes frame 0 (first mono frame: no pose yet -> None
-        # is acceptable; the tracker must have consumed it either way)
+        depth = slam.cfg.pipeline_depth
+        for k in range(depth):
+            img = synthetic.render_image(scene, CAM, *poses[k])
+            assert slam.track_monocular_pipelined(jnp.asarray(img), k * 0.05) is None
+        # flushing processes the in-flight frames (early mono frames may have
+        # no pose yet -> None is acceptable; they must be consumed either way)
         slam.flush_pipeline()
-        assert slam.tracker.frame_id >= 0  # one frame consumed (ids from -1)
-        assert slam._pipeline_pending is None
+        assert slam.tracker.frame_id >= depth - 1  # frames consumed (ids from -1)
+        assert not slam._pipe
