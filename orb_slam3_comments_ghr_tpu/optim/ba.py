@@ -204,6 +204,165 @@ def _cost(chi2, delta2, obs_valid, use_huber: bool):
     return jnp.sum(jnp.where(obs_valid, c, 0.0))
 
 
+# --------------------------------------------------------------------------
+# Full-map ("global") BA: the same LM/Schur math, restructured for problems
+# where K is hundreds of cameras and P is the whole map. Two changes vs the
+# windowed path:
+#   * camera-system assembly runs as a lax.scan over point CHUNKS, so the
+#     K-sized intermediates are bounded by the chunk (HBM stays flat as the
+#     map grows);
+#   * the Schur cross-term is assembled by observation-pair expansion +
+#     segment_sum into (K*K) 6x6 blocks instead of the dense one-hot einsum —
+#     at large K the dense route costs O(P K^2) flops for a matrix that is
+#     actually D^2-sparse per point.
+# The LM loop is dispatched in host-sized bites (`bundle_adjust_resumable`)
+# so the mapper can check an abort flag between bites — the reference's
+# mbStopGBA pattern (LoopClosing.cc:3067, Optimizer.cc:2831).
+
+
+def _camera_system_chunk(cam, prob_c, R, t, lam, K, use_huber):
+    """One point-chunk's contribution to the reduced camera system."""
+    P, D = prob_c.obs_cam.shape
+    r, Jc, Jp, w, chi2, row_mask, delta2 = _obs_terms(
+        cam, prob_c, R, t, prob_c.p, use_huber
+    )
+    cost = _cost(chi2, delta2, prob_c.obs_valid, use_huber)
+    Jcm = jnp.where(row_mask[..., None], Jc, 0.0)
+    Jpm = jnp.where(row_mask[..., None], Jp, 0.0)
+    rm = jnp.where(row_mask, r, 0.0)
+
+    H_pp = jnp.einsum("pdri,pd,pdrj->pij", Jpm, w, Jpm)
+    b_p = -jnp.einsum("pdri,pd,pdr->pi", Jpm, w, rm)
+    Hpp_inv = _point_blocks_inv(H_pp, prob_c.p_valid, lam)
+
+    Hc_blocks = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jcm)   # (P,D,6,6)
+    bc_blocks = -jnp.einsum("pdri,pd,pdr->pdi", Jcm, w, rm)     # (P,D,6)
+    W = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jpm)           # (P,D,6,3)
+
+    flat_cam = prob_c.obs_cam.reshape(P * D)
+    H_cc = jax.ops.segment_sum(Hc_blocks.reshape(P * D, 6, 6), flat_cam, K)
+    b_c = jax.ops.segment_sum(bc_blocks.reshape(P * D, 6), flat_cam, K)
+
+    # Schur pieces: rhs -= sum_o W_o Hpp^-1 b_p ; S -= W Hpp^-1 W^T per
+    # camera PAIR of each point (observation-pair expansion)
+    WHinv = jnp.einsum("pdij,pjk->pdik", W, Hpp_inv)            # (P,D,6,3)
+    WHb = jnp.einsum("pdia,pa->pdi", WHinv, b_p)                # (P,D,6)
+    rhs = b_c - jax.ops.segment_sum(WHb.reshape(P * D, 6), flat_cam, K)
+    S_pair = jnp.einsum("pdia,peja->pdeij", WHinv, W)           # (P,D,D,6,6)
+    pair_idx = (prob_c.obs_cam[:, :, None] * K + prob_c.obs_cam[:, None, :])
+    S_corr = jax.ops.segment_sum(
+        S_pair.reshape(P * D * D, 6, 6), pair_idx.reshape(P * D * D), K * K
+    ).reshape(K, K, 6, 6)
+    S = -S_corr
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(H_cc)
+    H_cc_diag = jnp.diagonal(H_cc, axis1=-2, axis2=-1)
+    return S, rhs, H_cc_diag, cost, W, Hpp_inv, b_p
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "iters", "use_huber", "point_chunk")
+)
+def bundle_adjust_resumable(
+    cam: cameras.Camera,
+    prob: BAProblem,
+    lam0: jnp.ndarray,
+    iters: int = 2,
+    use_huber: bool = True,
+    point_chunk: int = 2048,
+):
+    """A bite of `iters` LM iterations on a full-map problem. Returns
+    (cam_R, cam_t, p, lam) so the host can chain bites with abort checks
+    between them (mbStopGBA, LoopClosing.cc:3067). P must be a multiple of
+    point_chunk (pad with invalid points)."""
+    with jax.default_matmul_precision("high"):
+        K = prob.cam_R.shape[0]
+        P, D = prob.obs_cam.shape
+        C = P // point_chunk
+
+        def reshape_c(x):
+            return x.reshape((C, point_chunk) + x.shape[1:])
+
+        chunks = BAProblem(
+            cam_R=prob.cam_R, cam_t=prob.cam_t, cam_fixed=prob.cam_fixed,
+            p=reshape_c(prob.p), p_valid=reshape_c(prob.p_valid),
+            obs_cam=reshape_c(prob.obs_cam), obs_uv=reshape_c(prob.obs_uv),
+            obs_ur=reshape_c(prob.obs_ur), obs_level=reshape_c(prob.obs_level),
+            obs_valid=reshape_c(prob.obs_valid),
+        )
+
+        def lm_iter(carry, _):
+            R, t, p, lam = carry
+            p_c_all = p.reshape(C, point_chunk, 3)
+
+            def scan_body(acc, xs):
+                S_a, rhs_a, diag_a, cost_a = acc
+                p_c, pv, oc, ouv, our, olv, ovd = xs
+                prob_c = BAProblem(
+                    cam_R=R, cam_t=t, cam_fixed=prob.cam_fixed,
+                    p=p_c, p_valid=pv, obs_cam=oc, obs_uv=ouv,
+                    obs_ur=our, obs_level=olv, obs_valid=ovd,
+                )
+                S, rhs, diag, cost, W, Hpp_inv, b_p = _camera_system_chunk(
+                    cam, prob_c, R, t, lam, K, use_huber
+                )
+                return (
+                    (S_a + S, rhs_a + rhs, diag_a + diag, cost_a + cost),
+                    (W, Hpp_inv, b_p),
+                )
+
+            init = (
+                jnp.zeros((K, K, 6, 6), prob.p.dtype),
+                jnp.zeros((K, 6), prob.p.dtype),
+                jnp.zeros((K, 6), prob.p.dtype),
+                jnp.zeros((), prob.p.dtype),
+            )
+            (S, rhs, diag, cost0), (Ws, Hinvs, b_ps) = jax.lax.scan(
+                scan_body,
+                init,
+                (
+                    p_c_all, chunks.p_valid, chunks.obs_cam, chunks.obs_uv,
+                    chunks.obs_ur, chunks.obs_level, chunks.obs_valid,
+                ),
+            )
+            dxc = _solve_reduced(S, rhs, prob.cam_fixed, diag, lam, K)
+            W_full = Ws.reshape(P, D, 6, 3)
+            Hinv_full = Hinvs.reshape(P, 3, 3)
+            bp_full = b_ps.reshape(P, 3)
+            dp = _backsubstitute(
+                prob.obs_cam, W_full, Hinv_full, bp_full, prob.p_valid, dxc
+            )
+            dR, dt = lie.se3_exp(dxc)
+            R_new, t_new = lie.se3_mul(dR, dt, R, t)
+            p_new = p + dp
+            _, _, _, _, chi2_new, _, delta2 = _obs_terms(
+                cam, prob, R_new, t_new, p_new, use_huber
+            )
+            cost1 = _cost(chi2_new, delta2, prob.obs_valid, use_huber)
+            better = cost1 < cost0
+            R = jnp.where(better, R_new, R)
+            t = jnp.where(better, t_new, t)
+            p = jnp.where(better, p_new, p)
+            lam = jnp.where(better, lam * 0.5, lam * 5.0)
+            return (R, t, p, lam), cost0
+
+        (R, t, p, lam), _ = jax.lax.scan(
+            lm_iter, (prob.cam_R, prob.cam_t, prob.p, lam0), None, length=iters
+        )
+        return R, t, p, lam
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def classify_observations(cam: cameras.Camera, prob: BAProblem):
+    """Final chi2 inlier classification for a (possibly updated) problem —
+    the post-GBA outlier-erase pass (Optimizer.cc:2100-2160)."""
+    with jax.default_matmul_precision("high"):
+        _, _, _, _, chi2, _, delta2 = _obs_terms(
+            cam, prob, prob.cam_R, prob.cam_t, prob.p, use_huber=False
+        )
+        inlier = prob.obs_valid & (chi2 <= delta2)
+        return inlier
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "iters", "use_huber"))
 def bundle_adjust(
     cam: cameras.Camera,

@@ -237,6 +237,20 @@ class LoopCloser:
 
         window = [kf] + m.covisible_kfs(kf, k=30, min_weight=1)
         pts = m.local_point_ids(window, cap=10**9)
+
+        # snapshot ALL keyframe poses + strong-covisibility links BEFORE the
+        # window correction: the essential graph must measure spanning-tree /
+        # pre-existing covisibility edges from NON-corrected poses
+        # (Optimizer.cc:4527 NonCorrectedSim3), and new cross-loop links
+        # created by fusion are identified as covis edges absent pre-fusion
+        pre_R = m.kf_R.copy()
+        pre_t = m.kf_t.copy()
+        all_kfs = m.kf_ids()
+        pre_covis = {
+            int(k): {c for c, w in m.covisibility(int(k)).items() if w >= 100}
+            for k in all_kfs
+        }
+
         # transform window KFs: S_i' = S_i ∘ dSw^-1 ; points: p' = dSw(p)
         swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
         for k in window:
@@ -251,8 +265,9 @@ class LoopCloser:
         self._fuse_points_into(window, loop_pts)
 
         # essential-graph optimization over the whole active map
-        self._optimize_essential_graph(kf, cand)
-        # capped global BA (GBA 10 iters visual)
+        self._optimize_essential_graph(kf, cand, pre_R, pre_t, pre_covis)
+        # full-map BA with abort + new-KF propagation (RunGlobalBundle-
+        # Adjustment, LoopClosing.cc:3067)
         self._global_ba(iters=10)
         m.version += 1
 
@@ -332,37 +347,60 @@ class LoopCloser:
                 elif ex[j] < 0:
                     m.add_observation(mp, int(nb), int(fidx[j]))
 
-    def _optimize_essential_graph(self, kf: int, cand: int):
+    def _optimize_essential_graph(self, kf: int, cand: int,
+                                  pre_R=None, pre_t=None, pre_covis=None):
         """Essential graph: spanning tree + strong covisibility (weight>=100)
-        + the new loop edge (Optimizer.cc:4527)."""
+        + new loop-connection edges + the loop edge (Optimizer.cc:4527).
+
+        Edge measurements follow the reference's vScw/NonCorrectedSim3 split:
+        spanning-tree and PRE-EXISTING covisibility edges are measured from
+        the pre-correction pose snapshot (so the accumulated drift lives in
+        the residuals and gets distributed over the whole graph), while NEW
+        covisibility links created by loop fusion and the loop edge itself
+        are measured from the current (window-corrected) poses — they encode
+        the correction constraint. Vertex initial values are the current
+        poses; the loop-side KF is the gauge anchor."""
         m = self.map
         kfs = m.kf_ids()
         if len(kfs) < 4:
             return
+        if pre_R is None:
+            pre_R, pre_t = m.kf_R, m.kf_t
+        if pre_covis is None:
+            pre_covis = {}
         slot = {int(k): i for i, k in enumerate(kfs)}
         K = len(kfs)
         ei, ej, es, eR, et, ew = [], [], [], [], [], []
 
-        def add_edge(a, b, weight):
+        def add_edge(a, b, weight, R_src, t_src):
             s_rel, R_rel, t_rel = _np_sim3_mul(
-                1.0, m.kf_R[a].astype(np.float64), m.kf_t[a].astype(np.float64),
-                *_np_sim3_inv(1.0, m.kf_R[b].astype(np.float64), m.kf_t[b].astype(np.float64)),
+                1.0, R_src[a].astype(np.float64), t_src[a].astype(np.float64),
+                *_np_sim3_inv(1.0, R_src[b].astype(np.float64), t_src[b].astype(np.float64)),
             )
             ei.append(slot[a]); ej.append(slot[b])
             es.append(s_rel); eR.append(R_rel); et.append(t_rel); ew.append(weight)
 
         seen = set()
         for k in kfs:
+            k = int(k)
             p = int(m.kf_parent[k])
             if p >= 0 and p in slot and (k, p) not in seen:
-                add_edge(int(k), p, 1.0)
-                seen.add((int(k), p))
-            for c, w in m.covisibility(int(k)).items():
-                if w >= 100 and c in slot and (int(k), c) not in seen and (c, int(k)) not in seen:
-                    add_edge(int(k), c, 1.0)
-                    seen.add((int(k), c))
-        # loop edge (already-corrected poses => relative is the corrected one)
-        add_edge(int(kf), int(cand), 10.0)
+                add_edge(k, p, 1.0, pre_R, pre_t)
+                seen.add((k, p))
+            old_links = pre_covis.get(k, None)
+            for c, w in m.covisibility(k).items():
+                if w < 100 or c not in slot:
+                    continue
+                if (k, c) in seen or (c, k) in seen:
+                    continue
+                seen.add((k, c))
+                if old_links is not None and c not in old_links:
+                    # loop connection born from fusion: corrected measurement
+                    add_edge(k, c, 1.0, m.kf_R, m.kf_t)
+                else:
+                    add_edge(k, c, 1.0, pre_R, pre_t)
+        # loop edge (corrected poses => relative encodes the Sim3 constraint)
+        add_edge(int(kf), int(cand), 10.0, m.kf_R, m.kf_t)
 
         E = len(ei)
         prob = posegraph.PoseGraphProblem(
@@ -387,19 +425,26 @@ class LoopCloser:
         for i, k in enumerate(kfs):
             m.kf_R[k] = R[i]
             m.kf_t[k] = t[i] / s[i]
-        # correct map points through their first observing KF's correction
+        # correct map points through their first observing KF's correction:
+        # p' = Snew^-1 * Told * p, one vectorized transform over all points
+        # grouped by reference KF (Optimizer.cc:4836-4870)
         pts = m.mp_ids()
+        slot_arr = np.full(m.kf_R.shape[0], -1, np.int64)
+        slot_arr[np.asarray(kfs)] = np.arange(K)
         ref = m.mp_first_kf[pts]
-        ok = np.isin(ref, kfs)
-        for j in np.nonzero(ok)[0]:
-            mp = pts[j]
-            i = slot.get(int(ref[j]))
-            if i is None:
-                continue
-            # p' = T_new^-1 * T_old * p  (in the ref KF's camera)
-            pc = old_R[i] @ m.mp_pos[mp] + old_t[i]
-            m.mp_pos[mp] = m.kf_R[int(ref[j])].T @ ((pc - m.kf_t[int(ref[j])] * s[i]) / s[i])
-        m.update_point_geometry(pts[:2000])
+        i = slot_arr[ref]
+        sel = i >= 0
+        pts, i = pts[sel], i[sel]
+        pc = (
+            np.einsum("kij,kj->ki", old_R[i].astype(np.float64),
+                      m.mp_pos[pts].astype(np.float64))
+            + old_t[i].astype(np.float64)
+        )
+        si = s[i][:, None]
+        m.mp_pos[pts] = np.einsum(
+            "kji,kj->ki", R[i].astype(np.float64), (pc - t[i]) / si
+        ).astype(np.float32)
+        m.update_point_geometry(pts)
 
     def _global_ba(self, iters: int = 10):
         """GlobalBundleAdjustemnt (Optimizer.cc:2831) over the active map,

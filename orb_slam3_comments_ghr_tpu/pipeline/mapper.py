@@ -47,6 +47,7 @@ class LocalMapper:
         self.viba1_done = False
         self.viba2_done = False
         self.bad_imu = False  # mbBadImu (consumed by the system/tracker)
+        self.abort_gba = False  # mbStopGBA (request_abort_gba)
         self.last_scale_refine_t = -1e18  # ScaleRefinement cadence clock
         self._imu_init_failures = 0
 
@@ -480,12 +481,138 @@ class LocalMapper:
         m.version += 1
 
     def global_ba(self, iters: int = 10):
-        """GlobalBundleAdjustemnt (Optimizer.cc:2831): all keyframes and
-        points of the active map, first KF fixed; capped to pool sizes."""
+        """GlobalBundleAdjustemnt (Optimizer.cc:2831): ALL keyframes and
+        points of the active map, first KF fixed. Small maps go through the
+        dense windowed solver in one dispatch; larger maps use the chunked
+        full-map path with abort checks between LM bites and spanning-tree
+        propagation to keyframes/points created while the BA ran
+        (RunGlobalBundleAdjustment, LoopClosing.cc:3067-3321)."""
         m = self.map
-        kfs = [int(k) for k in m.kf_ids()][-128:]
-        pts = m.local_point_ids(kfs, self.cfg.local_ba_points)
-        self._run_ba(kfs, pts, iters, gauge_fix_first=True)
+        kfs = [int(k) for k in m.kf_ids()]
+        pts = m.local_point_ids(kfs, cap=10 ** 9)
+        if len(kfs) <= 128 and len(pts) <= self.cfg.local_ba_points:
+            self._run_ba(kfs, pts, iters, gauge_fix_first=True)
+            return
+        self.abort_gba = False  # a fresh GBA clears any stale stop request
+        self.run_full_map_ba(kfs, pts, iters)
+
+    def request_abort_gba(self):
+        """mbStopGBA (LoopClosing.cc:1669): the running full-map BA stops at
+        the next LM-bite boundary; partial progress is still written back."""
+        self.abort_gba = True
+
+    def run_full_map_ba(self, kfs: list[int], pts, iters: int = 10):
+        """Chunked full-map BA (optim/ba.py bundle_adjust_resumable). The LM
+        loop is dispatched in bites of 2 iterations with an abort check
+        between bites; after convergence the correction is propagated through
+        the spanning tree to keyframes inserted during the run and to their
+        new map points (LoopClosing.cc:3170-3260)."""
+        import jax.numpy as jnp
+        from ..optim import ba
+
+        m = self.map
+        cfg = self.cfg
+        snap_set = set(kfs)
+        pts = np.asarray(pts)
+        if len(pts) < 8 or len(kfs) < 3:
+            return
+
+        anchor = min(kfs)
+        opt_kfs = [k for k in kfs if k != anchor]
+        cam_ids = opt_kfs + [anchor]
+        cam_slot = {c: i for i, c in enumerate(cam_ids)}
+        K = _pad_pow2(len(cam_ids), 32, 1 << 16)
+        CHUNK = 2048
+        P = -(-len(pts) // CHUNK) * CHUNK
+        D = m.cfg.obs_cap
+
+        cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        cam_t = np.zeros((K, 3), np.float32)
+        cam_fixed = np.ones((K,), bool)
+        for c, i in cam_slot.items():
+            cam_R[i] = m.kf_R[c]
+            cam_t[i] = m.kf_t[c]
+        cam_fixed[: len(opt_kfs)] = False
+
+        p = np.zeros((P, 3), np.float32)
+        p_valid = np.zeros((P,), bool)
+        obs_cam = np.zeros((P, D), np.int32)
+        obs_uv = np.zeros((P, D, 2), np.float32)
+        obs_ur = np.full((P, D), -1.0, np.float32)
+        obs_level = np.zeros((P, D), np.int32)
+        obs_valid = np.zeros((P, D), bool)
+        p[: len(pts)] = m.mp_pos[pts]
+        p_valid[: len(pts)] = True
+        obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
+            m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
+        )
+        prob = ba.BAProblem(
+            cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+            cam_fixed=jnp.asarray(cam_fixed),
+            p=jnp.asarray(p), p_valid=jnp.asarray(p_valid),
+            obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
+            obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
+            obs_valid=jnp.asarray(obs_valid),
+        )
+
+        Rj, tj, pj = prob.cam_R, prob.cam_t, prob.p
+        lam = jnp.asarray(1e-4, prob.p.dtype)
+        done = 0
+        while done < iters and not self.abort_gba:
+            bite = min(2, iters - done)
+            Rj, tj, pj, lam = ba.bundle_adjust_resumable(
+                self.cam, prob._replace(cam_R=Rj, cam_t=tj, p=pj), lam,
+                iters=bite, point_chunk=CHUNK,
+            )
+            done += bite
+        inlier = ba.classify_observations(
+            self.cam, prob._replace(cam_R=Rj, cam_t=tj, p=pj)
+        )
+        Rn, tn, pn, inlier = device_fetch((Rj, tj, pj, inlier))
+
+        # ---- write-back + propagation to work created during the BA ----
+        pre_R = m.kf_R.copy()
+        pre_t = m.kf_t.copy()
+        for c in opt_kfs:
+            i = cam_slot[c]
+            m.kf_R[c] = Rn[i]
+            m.kf_t[c] = tn[i]
+        m.mp_pos[pts] = pn[: len(pts)]
+        # spanning-tree correction of keyframes inserted during the BA:
+        # T_new(child) = T_old(child) * T_old(parent)^-1 * T_new(parent)
+        # (ids increase monotonically, so parents are always processed first)
+        for k in m.kf_ids():
+            k = int(k)
+            if k in snap_set:
+                continue
+            par = int(m.kf_parent[k])
+            if par < 0:
+                continue
+            dR = pre_R[k] @ pre_R[par].T
+            dt = pre_t[k] - dR @ pre_t[par]
+            m.kf_R[k] = (dR @ m.kf_R[par]).astype(np.float32)
+            m.kf_t[k] = (dR @ m.kf_t[par] + dt).astype(np.float32)
+        # points born during the BA: correct through their reference KF
+        all_pts = m.mp_ids()
+        new_pts = np.asarray(all_pts)[~np.isin(all_pts, pts)]
+        if len(new_pts):
+            ref = m.mp_first_kf[new_pts]
+            ok = ref >= 0
+            new_pts, ref = new_pts[ok], ref[ok]
+            pc = (
+                np.einsum("kij,kj->ki", pre_R[ref], m.mp_pos[new_pts])
+                + pre_t[ref]
+            )
+            m.mp_pos[new_pts] = np.einsum(
+                "kji,kj->ki", m.kf_R[ref], pc - m.kf_t[ref]
+            ).astype(np.float32)
+        # outlier erase (Optimizer.cc:2100-2160 post-pass)
+        bad = np.argwhere(obs_valid[: len(pts)] & ~inlier[: len(pts)])
+        for j, srow in bad:
+            c = m.mp_obs_kf[pts[j], srow]
+            if c >= 0:
+                m.remove_observation(int(pts[j]), int(c))
+        m.version += 1
 
     def _run_ba(self, opt_kfs, pts, iters: int, gauge_fix_first: bool = False):
         m = self.map

@@ -168,3 +168,44 @@ class TestBundleAdjust:
         flagged = ~np.asarray(inl) & np.asarray(prob.obs_valid)
         corrupted = np.asarray(bad) & np.asarray(prob.obs_valid)
         assert flagged[corrupted].mean() > 0.9
+
+
+class TestResumableGlobalBA:
+    """Chunked full-map solver (bundle_adjust_resumable): scatter assembly
+    over point chunks must match the dense windowed solver's quality."""
+
+    def _problem(self, key, K=10, P=192):
+        return TestBundleAdjust._problem(TestBundleAdjust(), key, K=K, P=P)
+
+    def test_matches_dense_solver(self):
+        prob, Rg, tg, pg = self._problem(jax.random.PRNGKey(7))
+        # chunk=64 -> 3 chunks; bites of 2 iters chained through (R,t,p,lam)
+        Rj, tj, pj = prob.cam_R, prob.cam_t, prob.p
+        lam = jnp.asarray(1e-4)
+        for _ in range(8):
+            Rj, tj, pj, lam = ba.bundle_adjust_resumable(
+                CAM, prob._replace(cam_R=Rj, cam_t=tj, p=pj), lam,
+                iters=2, point_chunk=64,
+            )
+        t_err = jnp.linalg.norm(tj - tg, axis=-1)
+        assert float(jnp.max(t_err)) < 0.02
+        rot_err = jnp.linalg.norm(
+            lie.so3_log(Rj @ jnp.swapaxes(Rg, -1, -2)), axis=-1
+        )
+        assert float(jnp.max(rot_err)) < 0.01
+        inl = ba.classify_observations(
+            CAM, prob._replace(cam_R=Rj, cam_t=tj, p=pj)
+        )
+        assert float(jnp.mean(jnp.where(prob.obs_valid, inl, True))) > 0.95
+
+    def test_fixed_cameras_do_not_move(self):
+        prob, *_ = self._problem(jax.random.PRNGKey(8))
+        Rj, tj, pj, lam = ba.bundle_adjust_resumable(
+            CAM, prob, jnp.asarray(1e-4), iters=6, point_chunk=64
+        )
+        np.testing.assert_allclose(
+            np.asarray(Rj[:2]), np.asarray(prob.cam_R[:2]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(tj[:2]), np.asarray(prob.cam_t[:2]), atol=1e-4
+        )
