@@ -22,7 +22,7 @@ _ARRAYS = [
     "kf_parent", "kf_prev", "kf_next", "kf_Tcp",
     "kf_feat_xy", "kf_feat_level", "kf_feat_angle", "kf_feat_desc",
     "kf_feat_valid", "kf_feat_ur", "kf_feat_depth", "kf_feat_mp",
-    "mp_pos", "mp_desc", "mp_normal", "mp_min_dist", "mp_max_dist",
+    "mp_pos", "mp_desc", "mp_angle", "mp_normal", "mp_min_dist", "mp_max_dist",
     "mp_valid", "mp_map_id", "mp_first_kf", "mp_n_obs", "mp_found",
     "mp_visible", "mp_obs_kf", "mp_obs_idx",
 ]

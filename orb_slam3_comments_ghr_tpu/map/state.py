@@ -70,6 +70,11 @@ class MapState:
         # --- map points ---
         self.mp_pos = np.zeros((M, 3), np.float32)
         self.mp_desc = np.zeros((M, 8), np.uint32)
+        # keypoint angle of the distinctive descriptor's observation — used
+        # for the rotation-histogram consistency check when tracking against
+        # local map points (the analog of comparing against the last frame's
+        # keypoint angles, ORBmatcher.cc:2077)
+        self.mp_angle = np.zeros((M,), np.float32)
         self.mp_normal = np.zeros((M, 3), np.float32)
         self.mp_min_dist = np.zeros((M,), np.float32)
         self.mp_max_dist = np.zeros((M,), np.float32)
@@ -207,6 +212,9 @@ class MapState:
         idx = ids[ok]
         self.mp_pos[idx] = pos[ok]
         self.mp_desc[idx] = desc[ok]
+        self.mp_angle[idx] = self.kf_feat_angle[
+            first_kf, np.asarray(feat_idx)[np.nonzero(ok)[0]]
+        ]
         self.mp_valid[idx] = True
         self.mp_map_id[idx] = self.active_map
         self.mp_first_kf[idx] = first_kf
@@ -399,6 +407,8 @@ class MapState:
         med = np.where(mask, np.nan_to_num(med, nan=big), big)
         best = med.argmin(axis=1)
         self.mp_desc[ids] = descs[ar, best]
+        self.mp_angle[ids] = self.kf_feat_angle[kf_safe[ar, best],
+                                                idx_safe[ar, best]]
         self.version += 1
 
     def predict_scale_level(self, dist, map_ids) -> np.ndarray:

@@ -204,6 +204,7 @@ class LoopCloser:
             min_dist=jnp.asarray(_pad(m.mp_min_dist[pts] * s12, cap)),
             max_dist=jnp.asarray(_pad(m.mp_max_dist[pts] * s12, cap)),
             valid=jnp.asarray(_pad(np.ones(len(pts), bool), cap)),
+            angle=jnp.asarray(_pad(m.mp_angle[pts], cap)),
         )
         fidx, ok, existing = programs.fuse_project(
             self.cam, jnp.asarray(Rq), jnp.asarray(tq), lp,
@@ -324,6 +325,7 @@ class LoopCloser:
             min_dist=jnp.asarray(_pad(m.mp_min_dist[ids], L)),
             max_dist=jnp.asarray(_pad(m.mp_max_dist[ids], L)),
             valid=jnp.asarray(_pad(np.ones(len(ids), bool), L)),
+            angle=jnp.asarray(_pad(m.mp_angle[ids], L)),
         )
         for nb in kf_window:
             fidx, ok, existing = programs.fuse_project(

@@ -351,6 +351,7 @@ class LocalMapper:
             min_dist=jnp.asarray(_pad_rows(m.mp_min_dist[ids], L)),
             max_dist=jnp.asarray(_pad_rows(m.mp_max_dist[ids], L)),
             valid=jnp.asarray(_pad_rows(np.ones(len(ids), bool), L)),
+            angle=jnp.asarray(_pad_rows(m.mp_angle[ids], L)),
         )
         B = self.cfg.triangulation_neighbors
         nbs = (neighbors + [neighbors[-1]] * B)[:B]

@@ -36,6 +36,8 @@ class LocalPoints(NamedTuple):
     min_dist: jnp.ndarray  # (L,)
     max_dist: jnp.ndarray  # (L,)
     valid: jnp.ndarray     # (L,)
+    angle: jnp.ndarray     # (L,) keypoint angle of the distinctive
+    #                        descriptor's observation (rotation histogram)
 
 
 class TrackResult(NamedTuple):
@@ -127,6 +129,13 @@ def track_against_points(
             pts.desc, feats.desc, mask, th=matching.TH_HIGH, ratio=0.8
         )
     ok = matching.resolve_duplicates(idx, dist, ok, feats.xy.shape[0])
+    # rotation-histogram consistency between each point's reference-KF
+    # keypoint angle and its matched frame keypoint (the local-map analog of
+    # the last-frame orientation check, ORBmatcher.cc:2077-2168): local
+    # points come overwhelmingly from nearby keyframes, so a dominant
+    # relative in-plane rotation exists and false matches scatter outside
+    # the top histogram bins
+    ok = matching.rotation_consistency(pts.angle, feats.angle, idx, ok)
 
     obs = pose_opt.PoseObs(
         p_world=pts.pos,

@@ -466,10 +466,12 @@ class Tracker:
         mind[:n] = m.mp_min_dist[ids]
         maxd[:n] = m.mp_max_dist[ids]
         valid[:n] = True
+        ang = np.zeros((L,), np.float32)
+        ang[:n] = m.mp_angle[ids]
         lp = programs.LocalPoints(
             pos=jnp.asarray(pos), desc=jnp.asarray(desc), normal=jnp.asarray(normal),
             min_dist=jnp.asarray(mind), max_dist=jnp.asarray(maxd),
-            valid=jnp.asarray(valid),
+            valid=jnp.asarray(valid), angle=jnp.asarray(ang),
         )
         self._lp_cache = (key, lp, ids)
         return lp, ids
@@ -891,10 +893,13 @@ class Tracker:
         mind[:n] = m.mp_min_dist[ids]
         maxd[:n] = m.mp_max_dist[ids]
         valid[:n] = True
+        ang = np.zeros((L,), np.float32)
+        ang[:n] = m.mp_angle[ids]
         return programs.LocalPoints(
             pos=jnp.asarray(pos), desc=jnp.asarray(desc),
             normal=jnp.asarray(normal), min_dist=jnp.asarray(mind),
             max_dist=jnp.asarray(maxd), valid=jnp.asarray(valid),
+            angle=jnp.asarray(ang),
         ), ids
 
     def _handle_lost(self):

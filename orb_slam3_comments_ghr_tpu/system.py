@@ -96,6 +96,7 @@ class SLAM:
                 pos=jnp.zeros((L, 3)), desc=jnp.zeros((L, 8), jnp.uint32),
                 normal=jnp.zeros((L, 3)), min_dist=jnp.ones((L,)),
                 max_dist=jnp.ones((L,)), valid=jnp.zeros((L,), bool),
+                angle=jnp.zeros((L,)),
             )
         return self._empty_lp
 
