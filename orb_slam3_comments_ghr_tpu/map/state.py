@@ -16,9 +16,30 @@ MapPoint::GetObservations, KeyFrame.h:222).
 from __future__ import annotations
 
 import dataclasses
+import functools
+import threading
 from typing import Optional
 
 import numpy as np
+
+
+def _locked(fn):
+    """Serialize a mutating MapState method against concurrent access.
+
+    The async mapping worker (SURVEY §2.3 P1) mutates the SoA pools while
+    the tracking thread reads multi-array slices; every mutator runs under
+    the store's RLock, and readers that need a CONSISTENT multi-array view
+    take the same lock around their (short, numpy-only) slicing. Device
+    compute never runs under the lock, so pipeline overlap is preserved —
+    this is the reference's mMutexMapUpdate discipline (Map.h:139) scoped
+    down to host bookkeeping."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        with self.lock:
+            return fn(self, *a, **kw)
+
+    return wrapper
 
 # byte-popcount lookup for vectorized Hamming distances
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
@@ -40,6 +61,7 @@ class MapState:
 
     def __init__(self, cfg: MapConfig):
         self.cfg = cfg
+        self.lock = threading.RLock()  # see _locked
         K, M, N, D = cfg.max_kf, cfg.max_mp, cfg.n_feat, cfg.obs_cap
 
         # --- keyframes ---
@@ -132,6 +154,7 @@ class MapState:
                 setattr(self, name, ext)
         self.cfg.max_mp = new
 
+    @_locked
     def add_keyframe(self, R, t, feats, timestamp, vel=None, bias=None,
                      parent=-1, prev=-1) -> int:
         """feats: dict-like with numpy arrays xy, level, angle, desc, valid,
@@ -164,6 +187,7 @@ class MapState:
         self.version += 1
         return k
 
+    @_locked
     def remove_keyframe(self, kf: int):
         """SetBadFlag for keyframes (KeyFrame.cc): drop its observations,
         reconnect the temporal chain, and freeze the relative-to-parent
@@ -194,6 +218,7 @@ class MapState:
         self.version += 1
 
     # ------------------------------------------------------------------ mps
+    @_locked
     def add_map_points(self, pos, desc, first_kf, feat_idx) -> np.ndarray:
         """Batch-allocate points; associates (first_kf, feat_idx[i]) as the
         first observation. Returns allocated ids (-1 where pool full)."""
@@ -228,6 +253,7 @@ class MapState:
         self.version += 1
         return ids
 
+    @_locked
     def add_observations(self, mps: np.ndarray, kf: int,
                          feat_idxs: np.ndarray) -> np.ndarray:
         """Vectorized add_observation for a batch of DISTINCT map points
@@ -249,6 +275,7 @@ class MapState:
             self.version += 1
         return sel
 
+    @_locked
     def add_observation(self, mp: int, kf: int, feat_idx: int) -> bool:
         slots = self.mp_obs_kf[mp]
         if kf in slots:
@@ -264,6 +291,7 @@ class MapState:
         self.version += 1
         return True
 
+    @_locked
     def remove_observation(self, mp: int, kf: int):
         slots = np.nonzero(self.mp_obs_kf[mp] == kf)[0]
         for s in slots:
@@ -276,6 +304,7 @@ class MapState:
         if self.mp_n_obs[mp] <= (1 if self.kf_feat_ur[kf, 0] < 0 else 1):
             pass  # culling decisions live in LocalMapping
 
+    @_locked
     def remove_point(self, mp: int):
         for s in range(self.cfg.obs_cap):
             kf = self.mp_obs_kf[mp, s]
@@ -291,6 +320,7 @@ class MapState:
         self._mp_free.append(mp)
         self.version += 1
 
+    @_locked
     def replace_point(self, old: int, new: int):
         """MapPoint::Replace — move observations of `old` into `new`."""
         for s in range(self.cfg.obs_cap):
@@ -346,6 +376,7 @@ class MapState:
         mps = mps[self.mp_valid[mps]]
         return mps[:cap]
 
+    @_locked
     def update_point_geometry(self, ids: np.ndarray):
         """Recompute normal + scale-invariance distance band + distinctive
         descriptor (MapPoint::UpdateNormalAndDepth :146, ComputeDistinctive-
@@ -419,6 +450,7 @@ class MapState:
         return np.clip(lvl, 0, cfg.n_levels - 1).astype(np.int32)
 
     # ----------------------------------------------------------------- atlas
+    @_locked
     def create_new_map(self) -> int:
         """CreateMapInAtlas (Tracking.cc:3174): start a fresh sub-map; old one
         is kept for later merging."""
@@ -430,6 +462,7 @@ class MapState:
         self.version += 1
         return self.active_map
 
+    @_locked
     def apply_transform(self, map_id: int, s: float, R: np.ndarray, t: np.ndarray,
                         rescale_vel: bool = True):
         """Map::ApplyScaledRotation — gravity-align and rescale a whole map:

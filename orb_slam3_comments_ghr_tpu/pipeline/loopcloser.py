@@ -244,21 +244,22 @@ class LoopCloser:
         # pre-existing covisibility edges from NON-corrected poses
         # (Optimizer.cc:4527 NonCorrectedSim3), and new cross-loop links
         # created by fusion are identified as covis edges absent pre-fusion
-        pre_R = m.kf_R.copy()
-        pre_t = m.kf_t.copy()
-        all_kfs = m.kf_ids()
-        pre_covis = {
-            int(k): {c for c, w in m.covisibility(int(k)).items() if w >= 100}
-            for k in all_kfs
-        }
+        with m.lock:  # atomic window correction vs tracker reads
+            pre_R = m.kf_R.copy()
+            pre_t = m.kf_t.copy()
+            all_kfs = m.kf_ids()
+            pre_covis = {
+                int(k): {c for c, w in m.covisibility(int(k)).items() if w >= 100}
+                for k in all_kfs
+            }
 
-        # transform window KFs: S_i' = S_i ∘ dSw^-1 ; points: p' = dSw(p)
-        swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
-        for k in window:
-            sk, Rk, tk = _np_sim3_mul(1.0, m.kf_R[k].astype(np.float64), m.kf_t[k].astype(np.float64), swi, Rwi, twi)
-            m.kf_R[k] = Rk.astype(np.float32)
-            m.kf_t[k] = (tk / sk).astype(np.float32)  # renormalize scale into translation
-        m.mp_pos[pts] = (sw * (m.mp_pos[pts].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
+            # transform window KFs: S_i' = S_i ∘ dSw^-1 ; points: p' = dSw(p)
+            swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
+            for k in window:
+                sk, Rk, tk = _np_sim3_mul(1.0, m.kf_R[k].astype(np.float64), m.kf_t[k].astype(np.float64), swi, Rwi, twi)
+                m.kf_R[k] = Rk.astype(np.float32)
+                m.kf_t[k] = (tk / sk).astype(np.float32)  # renormalize scale into translation
+            m.mp_pos[pts] = (sw * (m.mp_pos[pts].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
 
         # fuse: project loop-side points into the corrected window KFs
         loop_window = [cand] + m.covisible_kfs(cand, k=20, min_weight=1)
@@ -289,16 +290,17 @@ class LoopCloser:
         sw, Rw, tw = _np_sim3_mul(si, Ri, ti, 1.0, R_old, t_old)
         swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
 
-        kfs = m.kf_ids(active)
-        mps = m.mp_ids(active)
-        for k in kfs:
-            sk, Rk, tk = _np_sim3_mul(1.0, m.kf_R[k].astype(np.float64), m.kf_t[k].astype(np.float64), swi, Rwi, twi)
-            m.kf_R[k] = Rk.astype(np.float32)
-            m.kf_t[k] = (tk / sk).astype(np.float32)
-        m.mp_pos[mps] = (sw * (m.mp_pos[mps].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
-        m.kf_map_id[kfs] = target
-        m.mp_map_id[mps] = target
-        m.active_map = int(target)
+        with m.lock:  # atomic map-weld transform vs tracker reads
+            kfs = m.kf_ids(active)
+            mps = m.mp_ids(active)
+            for k in kfs:
+                sk, Rk, tk = _np_sim3_mul(1.0, m.kf_R[k].astype(np.float64), m.kf_t[k].astype(np.float64), swi, Rwi, twi)
+                m.kf_R[k] = Rk.astype(np.float32)
+                m.kf_t[k] = (tk / sk).astype(np.float32)
+            m.mp_pos[mps] = (sw * (m.mp_pos[mps].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
+            m.kf_map_id[kfs] = target
+            m.mp_map_id[mps] = target
+            m.active_map = int(target)
 
         # weld: fuse current window with candidate window
         window = [kf] + m.covisible_kfs(kf, k=15, min_weight=1)
@@ -421,32 +423,33 @@ class LoopCloser:
             prob, iters=15, dof4=self.cfg.is_inertial and m.map_viba2.get(m.active_map, False)
         )
         s, R, t = np.asarray(s), np.asarray(R), np.asarray(t)
-        # write back: Tcw = [R | t/s]; transform points via their ref KF
-        old_R = m.kf_R[kfs].copy()
-        old_t = m.kf_t[kfs].copy()
-        for i, k in enumerate(kfs):
-            m.kf_R[k] = R[i]
-            m.kf_t[k] = t[i] / s[i]
-        # correct map points through their first observing KF's correction:
-        # p' = Snew^-1 * Told * p, one vectorized transform over all points
-        # grouped by reference KF (Optimizer.cc:4836-4870)
-        pts = m.mp_ids()
-        slot_arr = np.full(m.kf_R.shape[0], -1, np.int64)
-        slot_arr[np.asarray(kfs)] = np.arange(K)
-        ref = m.mp_first_kf[pts]
-        i = slot_arr[ref]
-        sel = i >= 0
-        pts, i = pts[sel], i[sel]
-        pc = (
-            np.einsum("kij,kj->ki", old_R[i].astype(np.float64),
-                      m.mp_pos[pts].astype(np.float64))
-            + old_t[i].astype(np.float64)
-        )
-        si = s[i][:, None]
-        m.mp_pos[pts] = np.einsum(
-            "kji,kj->ki", R[i].astype(np.float64), (pc - t[i]) / si
-        ).astype(np.float32)
-        m.update_point_geometry(pts)
+        with m.lock:  # atomic pose-graph write-back vs tracker reads
+            # write back: Tcw = [R | t/s]; transform points via their ref KF
+            old_R = m.kf_R[kfs].copy()
+            old_t = m.kf_t[kfs].copy()
+            for i, k in enumerate(kfs):
+                m.kf_R[k] = R[i]
+                m.kf_t[k] = t[i] / s[i]
+            # correct map points through their first observing KF's
+            # correction: p' = Snew^-1 * Told * p, one vectorized transform
+            # over all points grouped by reference KF (Optimizer.cc:4836-4870)
+            pts = m.mp_ids()
+            slot_arr = np.full(m.kf_R.shape[0], -1, np.int64)
+            slot_arr[np.asarray(kfs)] = np.arange(K)
+            ref = m.mp_first_kf[pts]
+            i = slot_arr[ref]
+            sel = i >= 0
+            pts, i = pts[sel], i[sel]
+            pc = (
+                np.einsum("kij,kj->ki", old_R[i].astype(np.float64),
+                          m.mp_pos[pts].astype(np.float64))
+                + old_t[i].astype(np.float64)
+            )
+            si = s[i][:, None]
+            m.mp_pos[pts] = np.einsum(
+                "kji,kj->ki", R[i].astype(np.float64), (pc - t[i]) / si
+            ).astype(np.float32)
+            m.update_point_geometry(pts)
 
     def _global_ba(self, iters: int = 10):
         """GlobalBundleAdjustemnt (Optimizer.cc:2831) over the active map,

@@ -429,12 +429,6 @@ class LocalMapper:
         tcb = -Rcb @ tbc
         Rwb = np.zeros((K, 3, 3), np.float32)
         pwb = np.zeros((K, 3), np.float32)
-        for i, k in enumerate(chain):
-            Rwc = m.kf_R[k].T
-            cw = -Rwc @ m.kf_t[k]
-            Rwb[i] = Rwc @ Rbc.T
-            pwb[i] = cw - Rwb[i] @ tbc
-
         P = _pad_pow2(len(pts), 256, self.cfg.local_ba_points)
         D = m.cfg.obs_cap
         slot = {c: i for i, c in enumerate(chain)}
@@ -445,15 +439,23 @@ class LocalMapper:
         obs_ur = np.full((P, D), -1.0, np.float32)
         obs_level = np.zeros((P, D), np.int32)
         obs_valid = np.zeros((P, D), bool)
-        p_arr[: len(pts)] = m.mp_pos[pts]
-        p_valid[: len(pts)] = True
-        obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
-            m, pts, slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
-        )
+        with m.lock:  # consistent problem snapshot vs the tracker's inserts
+            for i, k in enumerate(chain):
+                Rwc = m.kf_R[k].T
+                cw = -Rwc @ m.kf_t[k]
+                Rwb[i] = Rwc @ Rbc.T
+                pwb[i] = cw - Rwb[i] @ tbc
+            p_arr[: len(pts)] = m.mp_pos[pts]
+            p_valid[: len(pts)] = True
+            obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
+                m, pts, slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
+            )
+            vel0 = m.kf_vel[chain].copy()
+            bias0 = m.kf_bias[chain].copy()
 
         prob = vi_ba.VIBAProblem(
             Rwb=jnp.asarray(Rwb), pwb=jnp.asarray(pwb),
-            vel=jnp.asarray(m.kf_vel[chain]), bias=jnp.asarray(m.kf_bias[chain]),
+            vel=jnp.asarray(vel0), bias=jnp.asarray(bias0),
             fixed=jnp.arange(K) < 1,
             Rcb=jnp.asarray(Rcb.astype(np.float32)),
             tcb=jnp.asarray(tcb.astype(np.float32)),
@@ -469,17 +471,18 @@ class LocalMapper:
         Rwb_n, pwb_n, vel_n, bias_n, p_n = device_fetch(
             (Rwb_n, pwb_n, vel_n, bias_n, p_n)
         )
-        for i, k in enumerate(chain):
-            Rwc = Rwb_n[i] @ Rbc          # Rwb * Rbc
-            Rcw = Rwc.T
-            cw = pwb_n[i] + Rwb_n[i] @ tbc
-            m.kf_R[k] = Rcw
-            m.kf_t[k] = -Rcw @ cw
-            m.kf_vel[k] = vel_n[i]
-            m.kf_bias[k] = bias_n[i]
-        m.mp_pos[pts] = p_n[: len(pts)]
-        self.imu.bias = bias_n[-1]
-        m.version += 1
+        with m.lock:  # atomic write-back vs the tracker's local-view reads
+            for i, k in enumerate(chain):
+                Rwc = Rwb_n[i] @ Rbc          # Rwb * Rbc
+                Rcw = Rwc.T
+                cw = pwb_n[i] + Rwb_n[i] @ tbc
+                m.kf_R[k] = Rcw
+                m.kf_t[k] = -Rcw @ cw
+                m.kf_vel[k] = vel_n[i]
+                m.kf_bias[k] = bias_n[i]
+            m.mp_pos[pts] = p_n[: len(pts)]
+            self.imu.bias = bias_n[-1]
+            m.version += 1
 
     def global_ba(self, iters: int = 10):
         """GlobalBundleAdjustemnt (Optimizer.cc:2831): ALL keyframes and
@@ -530,11 +533,6 @@ class LocalMapper:
         cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
         cam_t = np.zeros((K, 3), np.float32)
         cam_fixed = np.ones((K,), bool)
-        for c, i in cam_slot.items():
-            cam_R[i] = m.kf_R[c]
-            cam_t[i] = m.kf_t[c]
-        cam_fixed[: len(opt_kfs)] = False
-
         p = np.zeros((P, 3), np.float32)
         p_valid = np.zeros((P,), bool)
         obs_cam = np.zeros((P, D), np.int32)
@@ -542,11 +540,16 @@ class LocalMapper:
         obs_ur = np.full((P, D), -1.0, np.float32)
         obs_level = np.zeros((P, D), np.int32)
         obs_valid = np.zeros((P, D), bool)
-        p[: len(pts)] = m.mp_pos[pts]
-        p_valid[: len(pts)] = True
-        obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
-            m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
-        )
+        with m.lock:  # consistent problem snapshot vs the tracker's inserts
+            for c, i in cam_slot.items():
+                cam_R[i] = m.kf_R[c]
+                cam_t[i] = m.kf_t[c]
+            cam_fixed[: len(opt_kfs)] = False
+            p[: len(pts)] = m.mp_pos[pts]
+            p_valid[: len(pts)] = True
+            obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
+                m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
+            )
         prob = ba.BAProblem(
             cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
             cam_fixed=jnp.asarray(cam_fixed),
@@ -572,48 +575,51 @@ class LocalMapper:
         Rn, tn, pn, inlier = device_fetch((Rj, tj, pj, inlier))
 
         # ---- write-back + propagation to work created during the BA ----
-        pre_R = m.kf_R.copy()
-        pre_t = m.kf_t.copy()
-        for c in opt_kfs:
-            i = cam_slot[c]
-            m.kf_R[c] = Rn[i]
-            m.kf_t[c] = tn[i]
-        m.mp_pos[pts] = pn[: len(pts)]
-        # spanning-tree correction of keyframes inserted during the BA:
-        # T_new(child) = T_old(child) * T_old(parent)^-1 * T_new(parent)
-        # (ids increase monotonically, so parents are always processed first)
-        for k in m.kf_ids():
-            k = int(k)
-            if k in snap_set:
-                continue
-            par = int(m.kf_parent[k])
-            if par < 0:
-                continue
-            dR = pre_R[k] @ pre_R[par].T
-            dt = pre_t[k] - dR @ pre_t[par]
-            m.kf_R[k] = (dR @ m.kf_R[par]).astype(np.float32)
-            m.kf_t[k] = (dR @ m.kf_t[par] + dt).astype(np.float32)
-        # points born during the BA: correct through their reference KF
-        all_pts = m.mp_ids()
-        new_pts = np.asarray(all_pts)[~np.isin(all_pts, pts)]
-        if len(new_pts):
-            ref = m.mp_first_kf[new_pts]
-            ok = ref >= 0
-            new_pts, ref = new_pts[ok], ref[ok]
-            pc = (
-                np.einsum("kij,kj->ki", pre_R[ref], m.mp_pos[new_pts])
-                + pre_t[ref]
-            )
-            m.mp_pos[new_pts] = np.einsum(
-                "kji,kj->ki", m.kf_R[ref], pc - m.kf_t[ref]
-            ).astype(np.float32)
-        # outlier erase (Optimizer.cc:2100-2160 post-pass)
-        bad = np.argwhere(obs_valid[: len(pts)] & ~inlier[: len(pts)])
-        for j, srow in bad:
-            c = m.mp_obs_kf[pts[j], srow]
-            if c >= 0:
-                m.remove_observation(int(pts[j]), int(c))
-        m.version += 1
+        # one atomic section: poses + points + spanning-tree propagation must
+        # land together or the tracker could read a half-corrected map
+        with m.lock:
+            pre_R = m.kf_R.copy()
+            pre_t = m.kf_t.copy()
+            for c in opt_kfs:
+                i = cam_slot[c]
+                m.kf_R[c] = Rn[i]
+                m.kf_t[c] = tn[i]
+            m.mp_pos[pts] = pn[: len(pts)]
+            # spanning-tree correction of keyframes inserted during the BA:
+            # T_new(child) = T_old(child) * T_old(parent)^-1 * T_new(parent)
+            # (ids increase monotonically, so parents are always processed first)
+            for k in m.kf_ids():
+                k = int(k)
+                if k in snap_set:
+                    continue
+                par = int(m.kf_parent[k])
+                if par < 0:
+                    continue
+                dR = pre_R[k] @ pre_R[par].T
+                dt = pre_t[k] - dR @ pre_t[par]
+                m.kf_R[k] = (dR @ m.kf_R[par]).astype(np.float32)
+                m.kf_t[k] = (dR @ m.kf_t[par] + dt).astype(np.float32)
+            # points born during the BA: correct through their reference KF
+            all_pts = m.mp_ids()
+            new_pts = np.asarray(all_pts)[~np.isin(all_pts, pts)]
+            if len(new_pts):
+                ref = m.mp_first_kf[new_pts]
+                ok = ref >= 0
+                new_pts, ref = new_pts[ok], ref[ok]
+                pc = (
+                    np.einsum("kij,kj->ki", pre_R[ref], m.mp_pos[new_pts])
+                    + pre_t[ref]
+                )
+                m.mp_pos[new_pts] = np.einsum(
+                    "kji,kj->ki", m.kf_R[ref], pc - m.kf_t[ref]
+                ).astype(np.float32)
+            # outlier erase (Optimizer.cc:2100-2160 post-pass)
+            bad = np.argwhere(obs_valid[: len(pts)] & ~inlier[: len(pts)])
+            for j, srow in bad:
+                c = m.mp_obs_kf[pts[j], srow]
+                if c >= 0:
+                    m.remove_observation(int(pts[j]), int(c))
+            m.version += 1
 
     def _run_ba(self, opt_kfs, pts, iters: int, gauge_fix_first: bool = False):
         m = self.map
@@ -643,12 +649,6 @@ class LocalMapper:
         cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
         cam_t = np.zeros((K, 3), np.float32)
         cam_fixed = np.ones((K,), bool)
-        for c, i in cam_slot.items():
-            cam_R[i] = m.kf_R[c]
-            cam_t[i] = m.kf_t[c]
-            cam_fixed[i] = c in fixed or c not in opt_set
-        cam_fixed[: len(opt_kfs)] = False
-
         p = np.zeros((P, 3), np.float32)
         p_valid = np.zeros((P,), bool)
         obs_cam = np.zeros((P, D), np.int32)
@@ -656,11 +656,17 @@ class LocalMapper:
         obs_ur = np.full((P, D), -1.0, np.float32)
         obs_level = np.zeros((P, D), np.int32)
         obs_valid = np.zeros((P, D), bool)
-        p[: len(pts)] = m.mp_pos[pts]
-        p_valid[: len(pts)] = True
-        obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
-            m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
-        )
+        with m.lock:  # consistent problem snapshot vs the tracker's inserts
+            for c, i in cam_slot.items():
+                cam_R[i] = m.kf_R[c]
+                cam_t[i] = m.kf_t[c]
+                cam_fixed[i] = c in fixed or c not in opt_set
+            cam_fixed[: len(opt_kfs)] = False
+            p[: len(pts)] = m.mp_pos[pts]
+            p_valid[: len(pts)] = True
+            obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
+                m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
+            )
 
         prob = ba.BAProblem(
             cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
@@ -672,18 +678,19 @@ class LocalMapper:
         )
         Rn, tn, pn, inlier, _ = ba.bundle_adjust(self.cam, prob, iters=iters)
         Rn, tn, pn, inlier = device_fetch((Rn, tn, pn, inlier))
-        for c in opt_kfs:
-            i = cam_slot[c]
-            m.kf_R[c] = Rn[i]
-            m.kf_t[c] = tn[i]
-        m.mp_pos[pts] = pn[: len(pts)]
-        # erase outlier observations (Optimizer.cc:2100-2160 post-pass)
-        bad = np.argwhere(obs_valid[: len(pts)] & ~inlier[: len(pts)])
-        for j, srow in bad:
-            c = m.mp_obs_kf[pts[j], srow]
-            if c >= 0:
-                m.remove_observation(int(pts[j]), int(c))
-        m.version += 1
+        with m.lock:  # atomic write-back vs the tracker's local-view reads
+            for c in opt_kfs:
+                i = cam_slot[c]
+                m.kf_R[c] = Rn[i]
+                m.kf_t[c] = tn[i]
+            m.mp_pos[pts] = pn[: len(pts)]
+            # erase outlier observations (Optimizer.cc:2100-2160 post-pass)
+            bad = np.argwhere(obs_valid[: len(pts)] & ~inlier[: len(pts)])
+            for j, srow in bad:
+                c = m.mp_obs_kf[pts[j], srow]
+                if c >= 0:
+                    m.remove_observation(int(pts[j]), int(c))
+            m.version += 1
 
     # ------------------------------------------------------------- cull KFs
     def cull_keyframes(self, kf: int):

@@ -440,34 +440,37 @@ class Tracker:
         # map version only moves when the mapper commits, so between
         # keyframes every frame reuses the uploaded device arrays — skipping
         # ~9 MB of host assembly + host->device transfer per frame
-        key = (m.version, self.last_kf, cap)
-        cached = getattr(self, "_lp_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1], cached[2]
-        kfs = [self.last_kf] + m.covisible_kfs(self.last_kf, k=10, min_weight=5)
-        # add temporal neighbors
-        k = self.last_kf
-        for _ in range(3):
-            k = m.kf_prev[k] if k >= 0 else -1
-            if k >= 0:
-                kfs.append(int(k))
-        ids = m.local_point_ids(np.unique(kfs), cap)
-        L = cap
-        pos = np.zeros((L, 3), np.float32)
-        desc = np.zeros((L, 8), np.uint32)
-        normal = np.zeros((L, 3), np.float32)
-        mind = np.zeros((L,), np.float32)
-        maxd = np.zeros((L,), np.float32)
-        valid = np.zeros((L,), bool)
-        n = len(ids)
-        pos[:n] = m.mp_pos[ids]
-        desc[:n] = m.mp_desc[ids]
-        normal[:n] = m.mp_normal[ids]
-        mind[:n] = m.mp_min_dist[ids]
-        maxd[:n] = m.mp_max_dist[ids]
-        valid[:n] = True
-        ang = np.zeros((L,), np.float32)
-        ang[:n] = m.mp_angle[ids]
+        # the lock pins a CONSISTENT multi-array snapshot against the async
+        # mapping worker's write-backs (torn local views otherwise; §2.3 P4)
+        with m.lock:
+            key = (m.version, self.last_kf, cap)
+            cached = getattr(self, "_lp_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1], cached[2]
+            kfs = [self.last_kf] + m.covisible_kfs(self.last_kf, k=10, min_weight=5)
+            # add temporal neighbors
+            k = self.last_kf
+            for _ in range(3):
+                k = m.kf_prev[k] if k >= 0 else -1
+                if k >= 0:
+                    kfs.append(int(k))
+            ids = m.local_point_ids(np.unique(kfs), cap)
+            L = cap
+            pos = np.zeros((L, 3), np.float32)
+            desc = np.zeros((L, 8), np.uint32)
+            normal = np.zeros((L, 3), np.float32)
+            mind = np.zeros((L,), np.float32)
+            maxd = np.zeros((L,), np.float32)
+            valid = np.zeros((L,), bool)
+            n = len(ids)
+            pos[:n] = m.mp_pos[ids]
+            desc[:n] = m.mp_desc[ids]
+            normal[:n] = m.mp_normal[ids]
+            mind[:n] = m.mp_min_dist[ids]
+            maxd[:n] = m.mp_max_dist[ids]
+            valid[:n] = True
+            ang = np.zeros((L,), np.float32)
+            ang[:n] = m.mp_angle[ids]
         lp = programs.LocalPoints(
             pos=jnp.asarray(pos), desc=jnp.asarray(desc), normal=jnp.asarray(normal),
             min_dist=jnp.asarray(mind), max_dist=jnp.asarray(maxd),

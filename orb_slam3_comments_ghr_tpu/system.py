@@ -482,6 +482,13 @@ class SLAM:
         """Full-frame trajectory rebuilt against (possibly BA-refined) reference KFs
         (SaveTrajectoryTUM pattern, System.cc:635): Tcw = Tcr @ Trw(refKF)."""
         out = []
+        self.map.lock.acquire()  # consistent poses vs the mapping worker
+        try:
+            return self._trajectory_locked(out)
+        finally:
+            self.map.lock.release()
+
+    def _trajectory_locked(self, out):
         for rec in self.tracker.records:
             if rec.lost or rec.ref_kf < 0:
                 continue
