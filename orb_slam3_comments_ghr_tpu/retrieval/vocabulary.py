@@ -1,33 +1,34 @@
 """Binary visual vocabulary: k-ary tree of 256-bit centroids.
 
 TPU-native replacement for DBoW2::TemplatedVocabulary (reference:
-Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h — k=10, L=5 tree built with
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h — k=10, L tree built with
 binary k-medians, transform() descends by min Hamming, :136-163). Here the
-tree is dense arrays (one (nodes, k, 8) uint32 centroid table per level) and
-`transform` descends ALL descriptors of a frame in parallel; the BoW vector
-is a dense (n_words,) tf vector (vocabularies used here are ~1k-4k words, so
-dense beats sparse bookkeeping on device AND on host).
+tree is dense arrays (one (nodes, k, 8) uint32 centroid table per level);
+`transform` descends ALL descriptors of a frame in parallel (host LUT
+popcount, or the jitted `transform_device` descent for on-device use), and
+the BoW vector is a dense (n_words,) tf-idf vector (TemplatedVocabulary's
+default TF_IDF weighting).
 
-Training is binary k-medians (majority-vote medians, Hamming assignment) on a
-descriptor corpus — the same construction as DBoW2's create(); the reference
-ships a pre-trained 1e5-word vocabulary file instead (stripped from this
-fork), so we train our own (descriptors here are self-consistent with our
-procedural rBRIEF pattern anyway).
+Training is binary k-medians (majority-vote medians, Hamming assignment) on
+a descriptor corpus — the same construction as DBoW2's create(); the
+reference ships a pre-trained vocabulary file instead (stripped from this
+fork), so we train our own on descriptors produced by the actual frontend
+(scripts/train_vocab.py) — self-consistent with our rBRIEF pattern.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-
-def _popcount_rows(x: np.ndarray) -> np.ndarray:
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
 
 def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(N,8) x (M,8) -> (N,M) int Hamming."""
+    """(N,8) x (M,8) -> (N,M) int Hamming via byte-LUT popcount."""
     x = a[:, None, :] ^ b[None, :, :]
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    return _POPCNT8[x.view(np.uint8).reshape(x.shape[0], x.shape[1], 32)].sum(
+        -1, dtype=np.int32
+    )
 
 
 def _majority(descs: np.ndarray) -> np.ndarray:
@@ -60,20 +61,31 @@ def _kmedians(descs: np.ndarray, k: int, rng, iters: int = 8):
 
 
 class Vocabulary:
-    """levels: list of (n_nodes_l, k, 8) uint32 arrays; words = k**L leaves."""
+    """levels: list of (n_nodes_l, k, 8) uint32 arrays; words = k**L leaves.
+    idf: (n_words,) per-word inverse document frequency (DBoW2 TF_IDF
+    weighting, TemplatedVocabulary::setNodeWeights) — ones when trained
+    without image grouping."""
 
-    def __init__(self, levels: list[np.ndarray], k: int):
+    def __init__(self, levels: list[np.ndarray], k: int,
+                 idf: np.ndarray | None = None):
         self.levels = levels
         self.k = k
         self.L = len(levels)
         self.n_words = k ** self.L
+        self.idf = (np.ones(self.n_words, np.float32)
+                    if idf is None else idf.astype(np.float32))
+        self._device_tables = None
 
     # ------------------------------------------------------------- training
     @staticmethod
-    def train(descs: np.ndarray, k: int = 10, L: int = 3, seed: int = 0) -> "Vocabulary":
+    def train(descs: np.ndarray, k: int = 10, L: int = 3, seed: int = 0,
+              image_ids: np.ndarray | None = None) -> "Vocabulary":
+        """Build the tree level-by-level; when `image_ids` labels each corpus
+        descriptor with its source image, per-word idf = log(N_images /
+        N_images_containing_word) is computed from the corpus
+        (TemplatedVocabulary::setNodeWeights semantics)."""
         rng = np.random.default_rng(seed)
         levels = []
-        # assignments of each descriptor to a node of the current level
         assign = np.zeros(len(descs), np.int64)
         n_nodes = 1
         for lvl in range(L):
@@ -89,7 +101,16 @@ class Vocabulary:
             levels.append(cents)
             assign = new_assign
             n_nodes *= k
-        return Vocabulary(levels, k)
+        idf = None
+        if image_ids is not None:
+            image_ids = np.asarray(image_ids)
+            n_img = len(np.unique(image_ids))
+            # count images containing each word
+            pair = np.unique(np.stack([assign, image_ids]), axis=1)
+            ni = np.bincount(pair[0], minlength=k ** L).astype(np.float64)
+            idf = np.log(n_img / np.maximum(ni, 1.0)).astype(np.float32)
+            idf[ni == 0] = float(np.log(n_img))  # unseen words: max weight
+        return Vocabulary(levels, k, idf)
 
     @staticmethod
     def random(k: int = 10, L: int = 3, seed: int = 0, n_train: int = 20000) -> "Vocabulary":
@@ -102,7 +123,7 @@ class Vocabulary:
     # ----------------------------------------------------------- persistence
     def save(self, path: str):
         np.savez_compressed(
-            path, k=self.k, L=self.L,
+            path, k=self.k, L=self.L, idf=self.idf,
             **{f"level_{i}": lv for i, lv in enumerate(self.levels)},
         )
 
@@ -110,35 +131,64 @@ class Vocabulary:
     def load(path: str) -> "Vocabulary":
         z = np.load(path)
         L = int(z["L"])
-        return Vocabulary([z[f"level_{i}"] for i in range(L)], int(z["k"]))
+        idf = z["idf"] if "idf" in z.files else None
+        return Vocabulary([z[f"level_{i}"] for i in range(L)], int(z["k"]), idf)
 
     # ------------------------------------------------------------ transform
-    def transform(self, descs: np.ndarray, valid: np.ndarray):
-        """Descend the tree for all descriptors at once.
+    @property
+    def mid_level(self) -> int:
+        """Loop index whose update yields the ~`k^2`-node grouping used for
+        BoW-guided matching — the reference's FeatureVector at nid_level
+        (~100 groups for the stock ORB vocabulary; Frame.cc:995-1010)."""
+        return min(1, self.L - 1)
 
-        Returns (word_id (N,), node_id_l2 (N,) mid-level node for BoW-guided
-        matching — the reference's levelsup=4 FeatureVector grouping,
-        Frame.cc:995-1010)."""
+    def transform(self, descs: np.ndarray, valid: np.ndarray):
+        """Descend the tree for all descriptors at once (host numpy).
+
+        Returns (word_id (N,), node_id (N,) mid-level node for BoW-guided
+        matching)."""
         n = len(descs)
         node = np.zeros(n, np.int64)
         mid = np.zeros(n, np.int64)
-        mid_level = max(self.L - 2, 0)
         for lvl in range(self.L):
             cents = self.levels[lvl][node]          # (N, k, 8)
-            x = descs[:, None, :] ^ cents
-            d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)  # (N, k)
+            x = (descs[:, None, :] ^ cents).view(np.uint8)
+            d = _POPCNT8[x.reshape(n, self.k, 32)].sum(-1, dtype=np.int32)
             node = node * self.k + d.argmin(1)
-            if lvl == mid_level:
+            if lvl == self.mid_level:
                 mid = node.copy()
         word = np.where(valid, node, -1)
         mid = np.where(valid, mid, -1)
         return word, mid
 
+    def transform_device(self, descs, valid):
+        """Jitted on-device tree descent: per level one gathered XOR-popcount
+        argmin over the k children (SURVEY §2.2: batched descent as device
+        ops). Inputs are (N,8) uint32 / (N,) bool device arrays; returns
+        (word, mid) int32 device arrays."""
+        import jax.numpy as jnp
+        from ..ops.matching import popcount_rows
+        if self._device_tables is None:
+            self._device_tables = [jnp.asarray(lv) for lv in self.levels]
+        node = jnp.zeros(descs.shape[0], jnp.int32)
+        mid = jnp.zeros(descs.shape[0], jnp.int32)
+        for lvl in range(self.L):
+            cents = self._device_tables[lvl][node]          # (N, k, 8)
+            d = popcount_rows(descs[:, None, :] ^ cents)    # (N, k)
+            node = node * self.k + jnp.argmin(d, axis=1).astype(jnp.int32)
+            if lvl == self.mid_level:
+                mid = node
+        word = jnp.where(valid, node, -1)
+        mid = jnp.where(valid, mid, -1)
+        return word, mid
+
     def bow_vector(self, word_id: np.ndarray) -> np.ndarray:
-        """L1-normalized dense tf vector (n_words,) float32."""
+        """L1-normalized dense tf-idf vector (n_words,) float32 (DBoW2
+        TF_IDF + L1 norm, the stock ORB-vocabulary configuration)."""
         v = np.zeros(self.n_words, np.float32)
         w = word_id[word_id >= 0]
         np.add.at(v, w, 1.0)
+        v *= self.idf
         s = v.sum()
         return v / s if s > 0 else v
 
