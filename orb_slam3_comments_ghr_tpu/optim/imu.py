@@ -177,7 +177,7 @@ def empty_preintegrated(capacity: int, bias=None, dtype=jnp.float32) -> Preinteg
         dR=jnp.eye(3, dtype=dtype),
         dV=jnp.zeros(3, dtype),
         dP=jnp.zeros(3, dtype),
-        C=jnp.eye(15, dtype) * 1e-9,
+        C=jnp.eye(15, dtype=dtype) * 1e-9,
         J_rg=jnp.zeros((3, 3), dtype), J_vg=jnp.zeros((3, 3), dtype),
         J_va=jnp.zeros((3, 3), dtype), J_pg=jnp.zeros((3, 3), dtype),
         J_pa=jnp.zeros((3, 3), dtype),

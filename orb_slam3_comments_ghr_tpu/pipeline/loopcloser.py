@@ -48,7 +48,17 @@ class LoopCloser:
         <=2 misses tolerated; here 2 hits — each hit already includes the
         Sim3-refinement spatial check)."""
         m = self.map
-        if len(m.kf_ids()) < 8:
+        mid = int(m.kf_map_id[kf])
+        # detection gates (NewDetectCommonRegions, LoopClosing.cc:413-436):
+        # inertial maps wait for the VIBA2 refinement before place recognition
+        # (their geometry is still being rescaled); young maps are skipped
+        if (
+            self.cfg.is_inertial
+            and self.cfg.loop_requires_viba2
+            and not m.map_viba2.get(mid, False)
+        ):
+            return False
+        if len(m.kf_ids(mid)) < self.cfg.loop_min_kfs:
             return False
         cand_info = self._detect(kf)
         if cand_info is None:
@@ -274,12 +284,16 @@ class LoopCloser:
         m.version += 1
 
     def _merge_maps(self, kf: int, cand: int, s12, R12, t12):
-        """MergeLocal (LoopClosing.cc:1697): transform the ACTIVE map into the
-        candidate's (older) map frame, relabel, fuse the weld window, local
-        welding BA."""
+        """MergeLocal (LoopClosing.cc:1697) / MergeLocal2 (:2451): transform
+        the ACTIVE map into the candidate's (older) map frame, relabel, fuse
+        the weld window, then a welding BA. In the inertial variant the weld
+        preserves gravity alignment (yaw-only rotation, unit scale once both
+        maps are metric) and the welding BA is MergeInertialBA."""
+        import math
+
         m = self.map
-        active = m.kf_map_id[kf]
-        target = m.kf_map_id[cand]
+        active = int(m.kf_map_id[kf])
+        target = int(m.kf_map_id[cand])
 
         # world alignment: dSw maps active-map world coords into target world
         R_old, t_old = m.kf_R[kf].astype(np.float64), m.kf_t[kf].astype(np.float64)
@@ -288,19 +302,41 @@ class LoopCloser:
         t_corr = s12 * (R12 @ m.kf_t[cand].astype(np.float64)) + t12
         si, Ri, ti = _np_sim3_inv(s_corr, R_corr, t_corr)
         sw, Rw, tw = _np_sim3_mul(si, Ri, ti, 1.0, R_old, t_old)
-        swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
 
-        with m.lock:  # atomic map-weld transform vs tracker reads
+        inertial = self.cfg.is_inertial and m.map_imu_init.get(active, False)
+        if inertial and m.map_imu_init.get(target, False):
+            # both worlds are gravity-aligned (-z): project the weld onto a
+            # rotation about gravity so neither map's alignment is disturbed
+            # (LoopClosing.cc:171-198 yaw-only correction) ...
+            yaw = math.atan2(Rw[1, 0], Rw[0, 0])
+            cy, sy = math.cos(yaw), math.sin(yaw)
+            Rw = np.array(
+                [[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]], np.float64
+            )
+            # ... and once both scales are metric (post-VIBA1), freeze s=1
+            if m.map_viba1.get(active, False) and m.map_viba1.get(target, False):
+                sw = 1.0
+
+        # whole-map weld transform: poses, points, velocities, normals,
+        # scale-distance bands (Map::ApplyScaledRotation; takes m.lock)
+        m.apply_transform(active, float(sw), Rw.astype(np.float32),
+                          tw.astype(np.float32))
+        with m.lock:  # atomic relabel vs tracker reads
             kfs = m.kf_ids(active)
             mps = m.mp_ids(active)
-            for k in kfs:
-                sk, Rk, tk = _np_sim3_mul(1.0, m.kf_R[k].astype(np.float64), m.kf_t[k].astype(np.float64), swi, Rwi, twi)
-                m.kf_R[k] = Rk.astype(np.float32)
-                m.kf_t[k] = (tk / sk).astype(np.float32)
-            m.mp_pos[mps] = (sw * (m.mp_pos[mps].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
             m.kf_map_id[kfs] = target
             m.mp_map_id[mps] = target
             m.active_map = int(target)
+            if inertial:
+                # the merged map inherits the strongest inertial stage of
+                # either part (MergeLocal2 force-sets ImuInitialized/BA1/BA2)
+                m.map_imu_init[target] = True
+                m.map_viba1[target] = bool(
+                    m.map_viba1.get(target, False) or m.map_viba1.get(active, False)
+                )
+                m.map_viba2[target] = bool(
+                    m.map_viba2.get(target, False) or m.map_viba2.get(active, False)
+                )
 
         # weld: fuse current window with candidate window
         window = [kf] + m.covisible_kfs(kf, k=15, min_weight=1)
@@ -308,7 +344,10 @@ class LoopCloser:
         loop_pts = m.local_point_ids(loop_window, cap=self.cfg.local_points_cap)
         self._fuse_points_into(window, loop_pts)
         # welding BA over the union window
-        self.mapper.local_ba(kf)
+        if inertial:
+            self.mapper.merge_inertial_ba(kf, cand)
+        else:
+            self.mapper.local_ba(kf)
         m.version += 1
 
     def _fuse_points_into(self, kf_window, point_ids):

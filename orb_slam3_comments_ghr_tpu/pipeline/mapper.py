@@ -50,6 +50,7 @@ class LocalMapper:
         self.abort_gba = False  # mbStopGBA (request_abort_gba)
         self.last_scale_refine_t = -1e18  # ScaleRefinement cadence clock
         self._imu_init_failures = 0
+        self._staging_map = 0  # map id the viba1/viba2/t_imu_init clocks track
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
@@ -142,6 +143,14 @@ class LocalMapper:
         refinements with tighter priors."""
         m = self.map
         mid = m.active_map
+        if mid != self._staging_map:
+            # active map changed (sub-map spawn after loss, or a merge):
+            # re-seat the staging clocks on the new map's recorded stages
+            self._staging_map = mid
+            self.viba1_done = m.map_viba1.get(mid, False)
+            self.viba2_done = m.map_viba2.get(mid, False)
+            self.t_imu_init = None
+            self._imu_init_failures = 0
         chain = self._temporal_chain(kf)
         if len(chain) < 6:
             return
@@ -404,9 +413,12 @@ class LocalMapper:
         pts = m.local_point_ids(opt_kfs, cfg.local_ba_points)
         self._run_ba(opt_kfs, pts, cfg.local_ba_iters)
 
-    def _run_vi_ba(self, chain, pts, iters: int):
-        """Build + solve a visual-inertial BA over the temporal chain
-        (consecutive preintegrations required; first KF's pose fixed)."""
+    def _run_vi_ba(self, chain, pts, iters: int, seam=()):
+        """Build + solve a visual-inertial BA over the temporal chain; first
+        KF's pose fixed. Links without a preintegration — and links listed in
+        `seam` (cross-map welds, where the stored preintegration belongs to a
+        different predecessor) — carry no inertial factor (pre_valid=False);
+        the chain is then tied together by the shared visual observations."""
         import jax
         import jax.numpy as jnp
         from ..optim import vi_ba, imu as imu_mod
@@ -414,12 +426,28 @@ class LocalMapper:
         m = self.map
         if len(pts) < 8:
             return
-        pres = []
+        pre_ok = np.ones(len(chain) - 1, bool)
+        cap = 1
         for k in chain[1:]:
             p_ = self.kf_preint.get(k)
-            if p_ is None:
-                return
+            if p_ is not None:
+                cap = max(cap, int(p_.acc.shape[0]))
+        pres = []
+        for j, k in enumerate(chain[1:]):
+            p_ = self.kf_preint.get(k)
+            if p_ is None or j in seam:
+                pre_ok[j] = False
+                p_ = imu_mod.empty_preintegrated(cap)
+            elif int(p_.acc.shape[0]) < cap:
+                pad = cap - int(p_.acc.shape[0])
+                p_ = p_._replace(
+                    acc=jnp.pad(p_.acc, ((0, pad), (0, 0))),
+                    gyr=jnp.pad(p_.gyr, ((0, pad), (0, 0))),
+                    dts=jnp.pad(p_.dts, ((0, pad),)),
+                )
             pres.append(p_)
+        if not pre_ok.any():
+            return
         pre_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
 
         K = len(chain)
@@ -483,6 +511,23 @@ class LocalMapper:
             m.mp_pos[pts] = p_n[: len(pts)]
             self.imu.bias = bias_n[-1]
             m.version += 1
+
+    def merge_inertial_ba(self, kf: int, cand: int):
+        """MergeInertialBA (Optimizer.cc:6034): welding VI-BA over the union
+        of the two welded maps' temporal chains. The seam link between the
+        old-map chain and the current chain carries no preintegration (the
+        maps come from different tracking episodes), so its inertial factor
+        is masked and the fused weld-window points tie the chains together
+        visually. Gauge: first KF of the old chain stays fixed."""
+        m = self.map
+        chain_a = self._temporal_chain(cand, cap=10)
+        in_a = set(chain_a)
+        chain_b = [k for k in self._temporal_chain(kf, cap=10) if k not in in_a]
+        if not chain_b or len(chain_a) + len(chain_b) < 4:
+            return
+        chain = chain_a + chain_b
+        pts = m.local_point_ids(chain, self.cfg.local_ba_points)
+        self._run_vi_ba(chain, pts, iters=8, seam={len(chain_a) - 1})
 
     def global_ba(self, iters: int = 10):
         """GlobalBundleAdjustemnt (Optimizer.cc:2831): ALL keyframes and

@@ -347,9 +347,11 @@ class SLAM:
             if self.cfg.enable_loop_closing:
                 corrected = self.loopcloser.process_keyframe(kf)
                 if corrected:
-                    # tracking must continue from the corrected KF pose
+                    # tracking must continue from the corrected KF pose (and
+                    # welded velocity, for inertial merges)
                     self.tracker.last_R = self.map.kf_R[kf].copy()
                     self.tracker.last_t = self.map.kf_t[kf].copy()
+                    self.tracker.body_vel = self.map.kf_vel[kf].copy()
                     self.tracker.velocity = None
         return pose
 

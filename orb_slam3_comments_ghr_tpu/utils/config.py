@@ -53,6 +53,9 @@ class SlamConfig:
                                          # bookkeeping/output lag by this many
                                          # frames; each extra level hides one
                                          # more device->host latency window
+    # loop closing gates (NewDetectCommonRegions, LoopClosing.cc:413-436)
+    loop_min_kfs: int = 12              # current map must have >= this many KFs
+    loop_requires_viba2: bool = True    # inertial maps wait for VIBA2 before PR
     # recovery (5.3)
     recently_lost_secs: float = 5.0
 

@@ -1,0 +1,135 @@
+"""Replay a real EuRoC ground-truth trajectory through the full pipeline and
+score ATE against the same ground-truth file (the reference's dataset-run
+validation, re-created without image data — see utils/gt_replay.py).
+
+    python scripts/run_gt_replay.py --seq MH01 --sensor mono \
+        [--render features|images] [--stride 1] [--max-frames 0]
+
+Prints one JSON line with ATE RMSE (m), tracked fps, tracked ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", default="MH01")
+    ap.add_argument("--sensor", choices=["mono", "imu-mono"], default="mono")
+    ap.add_argument("--render", choices=["features", "images"],
+                    default="features")
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--n-features", type=int, default=1024)
+    ap.add_argument("--out", default=None, help="TUM trajectory output path")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from orb_slam3_comments_ghr_tpu.ops import cameras
+    from orb_slam3_comments_ghr_tpu.system import SLAM
+    from orb_slam3_comments_ghr_tpu.utils import evaluation, gt_replay, synthetic
+    from orb_slam3_comments_ghr_tpu.utils.config import (
+        SlamConfig, MONOCULAR, IMU_MONOCULAR,
+    )
+    from orb_slam3_comments_ghr_tpu.optim import imu as imu_mod
+
+    times, R_cw, t_cw, p_wc, q_wc = gt_replay.load_euroc_gt(args.seq)
+    n = len(times)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    idx = list(range(0, n, args.stride))
+
+    cam = cameras.euroc_cam0()
+    sensor = MONOCULAR if args.sensor == "mono" else IMU_MONOCULAR
+    cfg = SlamConfig(
+        sensor=sensor, n_features=args.n_features,
+        min_init_matches=max(40, args.n_features // 10),
+        max_frames_between_kf=10,
+        async_mapping=True,
+    )
+    imu_rows = None
+    imu_calib = None
+    if sensor == IMU_MONOCULAR:
+        imu_rows = gt_replay.synthesize_imu(times[:n], p_wc[:n], q_wc[:n])
+        imu_calib = imu_mod.ImuCalib(
+            Rbc=jnp.eye(3), tbc=jnp.zeros(3),
+            noise_g=1.7e-4, noise_a=2e-3, walk_g=2e-5, walk_a=3e-3,
+        )
+    slam = SLAM(cam, cfg, imu_calib=imu_calib)
+
+    if args.render == "features":
+        world = gt_replay.make_hall_world(11, p_wc[:n])
+    else:
+        scene = gt_replay.make_room_scene(11, p_wc[:n])
+
+    n_tracked = 0
+    t_last_imu = -1.0
+    frame_times = []
+    t0_wall = time.perf_counter()
+    for j, i in enumerate(idx):
+        ts = float(times[i])
+        if imu_rows is not None:
+            chunk = imu_rows[(imu_rows[:, 0] > t_last_imu)
+                             & (imu_rows[:, 0] <= ts)]
+            if len(chunk):
+                slam.feed_imu(chunk)
+            t_last_imu = ts
+        t_f = time.perf_counter()
+        if args.render == "features":
+            feats, _ = synthetic.render_features(
+                world, cam, R_cw[i], t_cw[i], n_feat=args.n_features,
+                seed=1000 + i)
+            pose = slam.track_features(feats, ts)
+        else:
+            img = gt_replay.render_room(scene, cam, R_cw[i], t_cw[i])
+            pose = slam.track_monocular(jnp.asarray(img), ts)
+        frame_times.append(time.perf_counter() - t_f)
+        if pose is not None:
+            n_tracked += 1
+        if j % 200 == 0:
+            print(f"[{j}/{len(idx)}] tracked={n_tracked} "
+                  f"kf={slam.n_keyframes()} mp={slam.n_map_points()} "
+                  f"maps={slam.map.n_maps}", file=sys.stderr)
+    wall = time.perf_counter() - t0_wall
+
+    if hasattr(slam, "wait_idle"):
+        slam.wait_idle()
+    est = slam.trajectory()
+    gt = gt_replay.gt_as_tum(times[:n], R_cw[:n], t_cw[:n])
+    ate = evaluation.ate_rmse(est, gt, with_scale=True)
+    ate_noscale = evaluation.ate_rmse(est, gt, with_scale=False)
+    med = float(np.median(frame_times[10:])) if len(frame_times) > 20 else 0.0
+    if args.out:
+        slam.save_trajectory_tum(args.out)
+    print(json.dumps({
+        "seq": args.seq, "sensor": args.sensor, "render": args.render,
+        "frames": len(idx), "tracked": n_tracked,
+        "tracked_ratio": round(n_tracked / max(len(idx), 1), 3),
+        "ate_rmse_m": round(float(ate), 4),
+        "ate_rmse_noscale_m": round(float(ate_noscale), 4),
+        "fps_median": round(1.0 / max(med, 1e-9), 2),
+        "wall_s": round(wall, 1),
+        "keyframes": slam.n_keyframes(), "map_points": slam.n_map_points(),
+        "maps": slam.map.n_maps, "loops": slam.loopcloser.n_loops,
+        "merges": slam.loopcloser.n_merges,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,7 @@ class TestMapMerge:
             n_features=512, local_points_cap=2048, local_ba_points=2048,
             max_frames_between_kf=5, min_init_matches=60,
             recently_lost_secs=0.4,
+            loop_min_kfs=8,  # short re-traverse: below the default 12-KF gate
         )
         slam = SLAM(CAM, cfg)
         # phase 1: frames 0..60
