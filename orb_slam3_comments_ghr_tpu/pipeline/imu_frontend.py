@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from ..optim import imu as imu_mod
 
-SAMPLE_CAP = 256  # max IMU samples per frame gap (padded)
+SAMPLE_CAP = 256  # baseline padded capacity; long keyframe gaps grow it in
+                  # power-of-two buckets so jit re-traces stay bounded
 
 
 class ImuFrontend:
@@ -58,12 +59,17 @@ class ImuFrontend:
         self._since_kf = []
 
     def _integrate(self, rows, t0: float, t1: float) -> imu_mod.Preintegrated:
-        acc = np.zeros((SAMPLE_CAP, 3), np.float32)
-        gyr = np.zeros((SAMPLE_CAP, 3), np.float32)
-        dts = np.zeros((SAMPLE_CAP,), np.float32)
+        # capacity: next power-of-two bucket that fits every sample plus the
+        # hold-to-frame tail — never drop measurements on long KF gaps
+        cap = SAMPLE_CAP
+        while cap < len(rows) + 1:
+            cap *= 2
+        acc = np.zeros((cap, 3), np.float32)
+        gyr = np.zeros((cap, 3), np.float32)
+        dts = np.zeros((cap,), np.float32)
         prev_t = t0
         n = 0
-        for row in rows[:SAMPLE_CAP]:
+        for row in rows:
             t = min(max(row[0], t0), t1)
             dt = t - prev_t
             if dt <= 0:

@@ -60,7 +60,16 @@ class LoopCloser:
             return False
         if len(m.kf_ids(mid)) < self.cfg.loop_min_kfs:
             return False
-        cand_info = self._detect(kf)
+        # a pending hypothesis is first re-verified geometrically against the
+        # new KF by composing it with the relative motion and re-projecting
+        # (DetectAndReffineSim3FromLastKF, LoopClosing.cc:716) — much cheaper
+        # and more robust than a fresh BoW detection, and it keeps temporal
+        # verification alive across sparse keyframe cadences
+        cand_info = None
+        if self._pending is not None and self._pending.get("sim3") is not None:
+            cand_info = self._refine_pending(kf)
+        if cand_info is None:
+            cand_info = self._detect(kf)
         if cand_info is None:
             if self._pending is not None:
                 self._pending["misses"] += 1
@@ -72,8 +81,10 @@ class LoopCloser:
         if self._pending is not None and (self._pending["region"] & region):
             self._pending["hits"] += 1
             self._pending["region"] |= region
+            self._pending.update(sim3=(s12, R12, t12), kf=kf, cand=cand)
         else:
-            self._pending = {"region": region, "hits": 1, "misses": 0}
+            self._pending = {"region": region, "hits": 1, "misses": 0,
+                             "sim3": (s12, R12, t12), "kf": kf, "cand": cand}
         if self._pending["hits"] < self.required_hits:
             return False
         self._pending = None
@@ -118,6 +129,30 @@ class LoopCloser:
             if hit is not None:
                 return (cand,) + hit
         return None
+
+    def _refine_pending(self, kf: int):
+        """DetectAndReffineSim3FromLastKF (LoopClosing.cc:716): carry the
+        pending hypothesis' Sim3 to the new keyframe by composing it with the
+        relative motion since the hypothesis' keyframe, then demand that the
+        candidate window still re-projects >= nProjMatches points. Returns
+        (cand, s12, R12, t12, n_proj) like _detect, or None."""
+        m = self.map
+        p = self._pending
+        cand, k0 = p["cand"], p["kf"]
+        if not (m.kf_valid[cand] and m.kf_valid[k0]):
+            return None
+        s0, R0, t0 = p["sim3"]
+        # T_kf_k0 from current poses (drift over one KF gap is negligible)
+        R_rel = (m.kf_R[kf].astype(np.float64)
+                 @ m.kf_R[k0].astype(np.float64).T)
+        t_rel = m.kf_t[kf].astype(np.float64) - R_rel @ m.kf_t[k0].astype(
+            np.float64)
+        s1, R1, t1 = _np_sim3_mul(1.0, R_rel, t_rel, s0, np.asarray(R0, np.float64),
+                                  np.asarray(t0, np.float64))
+        n_proj = self._count_projection_matches(kf, cand, float(s1), R1, t1)
+        if n_proj < 40:
+            return None
+        return cand, float(s1), R1, t1, int(n_proj)
 
     def _verify_sim3(self, kf: int, cand: int):
         """SearchByBoW-style matching of map points, Sim3 RANSAC, guided

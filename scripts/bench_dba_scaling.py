@@ -12,7 +12,11 @@ multi-chip slice unchanged for hardware numbers.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def main():
