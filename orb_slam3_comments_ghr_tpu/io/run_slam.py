@@ -39,6 +39,10 @@ def main(argv=None):
 
     from dataclasses import replace
 
+    from ..parallel import distributed
+
+    distributed.initialize()  # no-op unless a multi-process launch is set up
+
     from ..ops import cameras
     from ..system import SLAM
     from ..utils.config import (

@@ -74,3 +74,34 @@ class TestDistributedBA:
         # points stay sharded along mp; cameras replicated
         assert p.sharding.spec == jax.sharding.PartitionSpec("mp")
         assert np.prod([s for s in (R.sharding.spec or ()) if s]) or True
+
+
+class TestDistributedRuntime:
+    """parallel.distributed: multi-host entry points degrade gracefully to
+    single-process (jax.distributed is only brought up when a coordinator is
+    configured)."""
+
+    def test_initialize_noop_single_process(self, monkeypatch):
+        from orb_slam3_comments_ghr_tpu.parallel import distributed
+
+        monkeypatch.delenv("SLAM_COORDINATOR", raising=False)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert distributed.initialize() is False
+
+    def test_global_mesh_runs_dba(self):
+        from orb_slam3_comments_ghr_tpu.parallel import distributed
+
+        mesh = distributed.global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        prob, Rg, tg, pg = make_problem(jax.random.PRNGKey(3))
+        sharded = dba.shard_problem(prob, mesh)
+        R, t, p, inl, cost = dba.bundle_adjust_sharded(
+            CAM, sharded, mesh, iters=10)
+        assert float(jnp.max(jnp.linalg.norm(t - tg, axis=-1))) < 0.05
+
+    def test_process_info(self):
+        from orb_slam3_comments_ghr_tpu.parallel import distributed
+
+        info = distributed.process_info()
+        assert info["process_count"] == 1
+        assert info["global_devices"] == len(jax.devices())
