@@ -77,16 +77,9 @@ class Preintegrated(NamedTuple):
     dts: jnp.ndarray
 
 
-@jax.jit
-def preintegrate(
-    acc: jnp.ndarray,
-    gyr: jnp.ndarray,
-    dts: jnp.ndarray,
-    bias: jnp.ndarray,
-    calib: ImuCalib,
-) -> Preintegrated:
-    """acc/gyr: (T,3) samples; dts: (T,) per-sample dt (0 = padding);
-    bias: (6,) [bg, ba]. One lax.scan, mirroring IntegrateNewMeasurement."""
+def _scan_preintegrate(init, acc, gyr, dts, bias, calib):
+    """Core lax.scan of IntegrateNewMeasurement over a (possibly padded)
+    sample chunk, from an arbitrary starting carry."""
     dtype = acc.dtype
     Nga = jnp.diag(
         jnp.array(
@@ -151,13 +144,6 @@ def preintegrate(
         )
         return carry, None
 
-    eye3 = jnp.eye(3, dtype=dtype)
-    z3 = jnp.zeros(3, dtype)
-    init = (
-        eye3, z3, z3, jnp.zeros((15, 15), dtype),
-        jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype),
-        jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype), jnp.zeros((), dtype),
-    )
     (dR, dV, dP, C, J_rg, J_vg, J_va, J_pg, J_pa, dT), _ = jax.lax.scan(
         step, init, (acc, gyr, dts)
     )
@@ -167,6 +153,47 @@ def preintegrate(
         J_rg=J_rg, J_vg=J_vg, J_va=J_va, J_pg=J_pg, J_pa=J_pa,
         bias=bias, acc=acc, gyr=gyr, dts=dts,
     )
+
+
+@jax.jit
+def preintegrate(
+    acc: jnp.ndarray,
+    gyr: jnp.ndarray,
+    dts: jnp.ndarray,
+    bias: jnp.ndarray,
+    calib: ImuCalib,
+) -> Preintegrated:
+    """acc/gyr: (T,3) samples; dts: (T,) per-sample dt (0 = padding);
+    bias: (6,) [bg, ba]. One lax.scan, mirroring IntegrateNewMeasurement."""
+    dtype = acc.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    z3 = jnp.zeros(3, dtype)
+    init = (
+        eye3, z3, z3, jnp.zeros((15, 15), dtype),
+        jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype),
+        jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype), jnp.zeros((), dtype),
+    )
+    return _scan_preintegrate(init, acc, gyr, dts, bias, calib)
+
+
+@jax.jit
+def preintegrate_continue(
+    pre: Preintegrated,
+    acc: jnp.ndarray,
+    gyr: jnp.ndarray,
+    dts: jnp.ndarray,
+    calib: ImuCalib,
+) -> Preintegrated:
+    """Integrate a NEW sample chunk onto an existing preintegration — the
+    incremental per-frame accumulation of mpImuPreintegratedFromLastKF
+    (Tracking.cc:1883 calling IntegrateNewMeasurement on both accumulators),
+    avoiding the O(gap^2) rescan of every sample since the keyframe. Uses
+    pre.bias. The returned raw-sample buffers hold only the NEW chunk;
+    callers that need the full raw history (keyframe creation, preintegration
+    merging on cull) must reintegrate from their stored rows."""
+    init = (pre.dR, pre.dV, pre.dP, pre.C,
+            pre.J_rg, pre.J_vg, pre.J_va, pre.J_pg, pre.J_pa, pre.dT)
+    return _scan_preintegrate(init, acc, gyr, dts, pre.bias, calib)
 
 
 def empty_preintegrated(capacity: int, bias=None, dtype=jnp.float32) -> Preintegrated:

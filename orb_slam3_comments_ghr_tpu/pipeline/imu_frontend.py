@@ -25,9 +25,15 @@ class ImuFrontend:
         self.calib = calib
         self.queue: list[np.ndarray] = []  # rows [t, ax, ay, az, wx, wy, wz]
         self.bias = np.zeros(6, np.float32)
-        # raw samples since the last keyframe (for from-KF preintegration)
+        # raw samples since the last keyframe (for full-raw reintegration at
+        # keyframe creation and preintegration merging)
         self._since_kf: list[np.ndarray] = []
         self.last_frame_time: Optional[float] = None
+        # incremental from-KF accumulator (mpImuPreintegratedFromLastKF):
+        # per-frame chunks are integrated ON TOP of this instead of rescanning
+        # every sample since the keyframe each frame
+        self._pre_kf: Optional[imu_mod.Preintegrated] = None
+        self._pre_kf_bias: Optional[np.ndarray] = None
 
     def feed(self, samples: np.ndarray):
         """samples: (M, 7) [t, ax, ay, az, wx, wy, wz]."""
@@ -42,26 +48,58 @@ class ImuFrontend:
 
     def preintegrate_frame(self, t_frame: float) -> Optional[imu_mod.Preintegrated]:
         """Consume samples up to t_frame; returns the preintegration from the
-        last frame (None on the first call)."""
+        last frame (None on the first call). The same chunk is also folded
+        into the incremental from-KF accumulator (dual preintegration,
+        Tracking.cc:1883)."""
         rows = self._take_until(t_frame)
         self._since_kf.extend(rows)
         if self.last_frame_time is None:
             self.last_frame_time = t_frame
             return None
-        pre = self._integrate(rows, self.last_frame_time, t_frame)
+        acc, gyr, dts = self._chunk(rows, self.last_frame_time, t_frame)
+        pre = imu_mod.preintegrate(
+            jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
+            jnp.asarray(self.bias), self.calib,
+        )
+        if (self._pre_kf is not None
+                and np.array_equal(self._pre_kf_bias, self.bias)):
+            self._pre_kf = imu_mod.preintegrate_continue(
+                self._pre_kf, jnp.asarray(acc), jnp.asarray(gyr),
+                jnp.asarray(dts), self.calib,
+            )
+        else:
+            self._pre_kf = None  # bias changed: lazily rebuilt from raw rows
         self.last_frame_time = t_frame
         return pre
 
-    def preintegrate_since_kf(self, t_kf_prev: float, t_frame: float):
-        return self._integrate(self._since_kf, t_kf_prev, t_frame)
+    def preintegrate_since_kf(self, t_kf_prev: float, t_frame: float,
+                              with_raw: bool = False):
+        """Preintegration spanning [t_kf_prev, t_frame]. The fast path returns
+        the incremental accumulator (O(frame-gap) per frame); with_raw=True
+        (keyframe creation) reintegrates from the stored raw rows so the
+        result carries the full sample history for later merging."""
+        if (not with_raw and self._pre_kf is not None
+                and np.array_equal(self._pre_kf_bias, self.bias)
+                and self.last_frame_time is not None
+                and abs(self.last_frame_time - t_frame) < 1e-9):
+            return self._pre_kf
+        full = self._integrate(self._since_kf, t_kf_prev, t_frame)
+        if (self.last_frame_time is not None
+                and abs(self.last_frame_time - t_frame) < 1e-9):
+            self._pre_kf = full
+            self._pre_kf_bias = np.asarray(self.bias).copy()
+        return full
 
     def on_new_keyframe(self):
         self._since_kf = []
+        self._pre_kf = None
+        self._pre_kf_bias = np.asarray(self.bias).copy()
 
-    def _integrate(self, rows, t0: float, t1: float) -> imu_mod.Preintegrated:
-        # capacity: next power-of-two bucket that fits every sample plus the
-        # hold-to-frame tail — never drop measurements on long KF gaps
-        cap = SAMPLE_CAP
+    def _chunk(self, rows, t0: float, t1: float, cap_min: int = 32):
+        """Padded (acc, gyr, dts) arrays over [t0, t1] with a hold-to-t1 tail.
+        Capacity grows in power-of-two buckets so every sample is kept (long
+        keyframe gaps) while jit shape buckets stay bounded."""
+        cap = cap_min
         while cap < len(rows) + 1:
             cap *= 2
         acc = np.zeros((cap, 3), np.float32)
@@ -85,6 +123,10 @@ class ImuFrontend:
             gyr[n] = gyr[n - 1]
             dts[n] = t1 - prev_t
             n += 1
+        return acc, gyr, dts
+
+    def _integrate(self, rows, t0: float, t1: float) -> imu_mod.Preintegrated:
+        acc, gyr, dts = self._chunk(rows, t0, t1, cap_min=SAMPLE_CAP)
         return imu_mod.preintegrate(
             jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
             jnp.asarray(self.bias), self.calib,

@@ -85,9 +85,13 @@ class LocalMapper:
         acc = jnp.concatenate([cur.acc, after.acc])
         gyr = jnp.concatenate([cur.gyr, after.gyr])
         dts = jnp.concatenate([cur.dts, after.dts])
-        # keep active samples first so a fixed-capacity truncation keeps data
+        # keep active samples first, then shrink to the power-of-two bucket
+        # that holds ALL of them (both windows can be full)
         order = jnp.argsort(~(dts > 0))
-        cap = max(acc.shape[0], after.acc.shape[0])
+        n_active = int(np.asarray((dts > 0).sum()))
+        cap = 32
+        while cap < n_active:
+            cap *= 2
         self.kf_preint[nxt] = imu_mod.preintegrate(
             acc[order][:cap], gyr[order][:cap], dts[order][:cap],
             after.bias, self.imu.calib,
@@ -126,7 +130,7 @@ class LocalMapper:
             if p is None:
                 return None
             pres.append(p)
-        pre_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+        pre_stack = _stack_preints(pres)
         dt = np.diff(m.kf_time[chain])
         vel0 = np.zeros_like(pwb)
         vel0[1:] = np.diff(pwb, axis=0) / np.maximum(dt[:, None], 1e-3)
@@ -191,6 +195,12 @@ class LocalMapper:
             self.imu.bias = np.asarray(bias)
             m.map_imu_init[mid] = True
             self.t_imu_init = float(t_now)
+            # a FRESH init (including after a bad-init map reset) restarts
+            # the refinement ladder from stage VIBA1
+            self.viba1_done = False
+            self.viba2_done = False
+            m.map_viba1[mid] = False
+            m.map_viba2[mid] = False
             # FullInertialBA over the init window (Optimizer.cc:3254, 100 it
             # in the reference; the windowed VI-BA converges in ~12 here)
             pts = m.local_point_ids(chain, self.cfg.local_ba_points)
@@ -201,6 +211,20 @@ class LocalMapper:
         if self.t_imu_init is None:
             self.t_imu_init = float(t_now)
         elapsed = float(t_now) - self.t_imu_init
+        # insufficient-excitation watchdog (LocalMapping.cc:192-199): a young
+        # inertial map whose recent keyframes barely move cannot observe
+        # scale/velocity — the init was garbage; flag bad IMU so the tracker
+        # resets the active map and tries again once there is real motion
+        if elapsed < 10.0 and not self.viba2_done and len(chain) >= 3:
+            recent = chain[-3:]
+            dist = 0.0
+            for a, b in zip(recent[:-1], recent[1:]):
+                ca = -m.kf_R[a].T @ m.kf_t[a]
+                cb = -m.kf_R[b].T @ m.kf_t[b]
+                dist += float(np.linalg.norm(cb - ca))
+            if dist < 0.02:
+                self.bad_imu = True
+                return
         stage = None
         if not self.viba1_done and elapsed > 5.0:
             stage = (1.0, 1e5)
@@ -427,28 +451,16 @@ class LocalMapper:
         if len(pts) < 8:
             return
         pre_ok = np.ones(len(chain) - 1, bool)
-        cap = 1
-        for k in chain[1:]:
-            p_ = self.kf_preint.get(k)
-            if p_ is not None:
-                cap = max(cap, int(p_.acc.shape[0]))
         pres = []
         for j, k in enumerate(chain[1:]):
             p_ = self.kf_preint.get(k)
             if p_ is None or j in seam:
                 pre_ok[j] = False
-                p_ = imu_mod.empty_preintegrated(cap)
-            elif int(p_.acc.shape[0]) < cap:
-                pad = cap - int(p_.acc.shape[0])
-                p_ = p_._replace(
-                    acc=jnp.pad(p_.acc, ((0, pad), (0, 0))),
-                    gyr=jnp.pad(p_.gyr, ((0, pad), (0, 0))),
-                    dts=jnp.pad(p_.dts, ((0, pad),)),
-                )
+                p_ = imu_mod.empty_preintegrated(1)
             pres.append(p_)
         if not pre_ok.any():
             return
-        pre_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+        pre_stack = _stack_preints(pres)
 
         K = len(chain)
         Rbc = np.asarray(self.imu.calib.Rbc)
@@ -778,6 +790,27 @@ class LocalMapper:
                 m.remove_keyframe(cand)
                 if self.kfdb is not None:
                     self.kfdb.erase(cand)
+
+
+def _stack_preints(pres):
+    """Stack Preintegrated pytrees whose raw-sample buffers may have
+    different power-of-two capacities (the IMU frontend grows buffers per
+    keyframe gap): pad the raws to the common max, stack the rest directly."""
+    import jax
+    import jax.numpy as jnp
+
+    cap = max(int(p.acc.shape[0]) for p in pres)
+    padded = []
+    for p in pres:
+        n = int(p.acc.shape[0])
+        if n < cap:
+            p = p._replace(
+                acc=jnp.pad(p.acc, ((0, cap - n), (0, 0))),
+                gyr=jnp.pad(p.gyr, ((0, cap - n), (0, 0))),
+                dts=jnp.pad(p.dts, ((0, cap - n),)),
+            )
+        padded.append(p)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
 
 
 def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:

@@ -169,8 +169,12 @@ class Tracker:
             self.last_time = timestamp
             return self._current_pose() if done else None
 
-        if self.state == RECENTLY_LOST and self.kfdb is not None:
-            # visual relocalization ladder (Tracking.cc:4444)
+        if (self.state == RECENTLY_LOST and self.kfdb is not None
+                and not self._imu_ready()):
+            # visual relocalization ladder (Tracking.cc:4444). IMU-initialized
+            # maps do NOT relocalize while recently lost — they dead-reckon on
+            # the IMU and, failing to re-latch within the window, go LOST and
+            # spawn a sub-map to merge later (Tracking.cc:2256-2294)
             if self._relocalize(feats):
                 self.state = OK
                 self.last_reloc_frame = self.frame_id
@@ -371,7 +375,8 @@ class Tracker:
         # normals/distance bands must reflect the final (scaled) geometry
         m.update_point_geometry(mp_ids)
         if self.imu is not None:
-            self.kf_preint[kf2] = self.imu.preintegrate_since_kf(t1, t2)
+            self.kf_preint[kf2] = self.imu.preintegrate_since_kf(
+                t1, t2, with_raw=True)
             self.imu.on_new_keyframe()
             self.last_kf_time = t2
         self._register_kf(kf1)
@@ -539,7 +544,13 @@ class Tracker:
             # TrackReferenceKeyFrame fallback (Tracking.cc:3254, called from
             # :2210/:2220 when the motion-model projection track fails):
             # BoW-node matching against the reference KF + pose-only LM, then
-            # a wide local-map re-track from the recovered pose
+            # a wide local-map re-track from the recovered pose. Once the map
+            # is IMU-initialized the reference trusts the IMU prediction and
+            # never falls back (Tracking.cc:2216-2220) — a garbage inertial
+            # init must be allowed to fail through to LOST so the watchdog /
+            # map-reset ladder can fix it, instead of thrashing OK<->LOST.
+            if self._imu_ready():
+                return False
             if not self._track_reference_kf(feats):
                 return False
             lp, ids = self._local_points_view()
@@ -795,7 +806,7 @@ class Tracker:
             m.kf_vel[kf] = self.body_vel
             m.kf_bias[kf] = self.imu.bias
             self.kf_preint[kf] = self.imu.preintegrate_since_kf(
-                self.last_kf_time, timestamp
+                self.last_kf_time, timestamp, with_raw=True
             )
             self.imu.on_new_keyframe()
             self.last_kf_time = timestamp
@@ -910,11 +921,16 @@ class Tracker:
         established map => spawn a fresh sub-map to merge later."""
         m = self.map
         if len(m.kf_ids()) < 10:
-            # reset active map: drop its kfs/mps
+            # reset active map: drop its kfs/mps AND its inertial staging —
+            # a young map dying right after a (bad) IMU init must re-run the
+            # init from scratch (Tracking.cc:2305-2310 ResetActiveMap)
             for mp in m.mp_ids():
                 m.remove_point(int(mp))
             for kf in m.kf_ids():
                 m.kf_valid[kf] = False
+            m.map_imu_init[m.active_map] = False
+            m.map_viba1[m.active_map] = False
+            m.map_viba2[m.active_map] = False
         else:
             m.create_new_map()
         self.state = NOT_INITIALIZED
