@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", default="MH01")
-    ap.add_argument("--sensor", choices=["mono", "imu-mono"], default="mono")
+    ap.add_argument("--sensor",
+                    choices=["mono", "imu-mono", "stereo", "imu-stereo"],
+                    default="mono")
     ap.add_argument("--render", choices=["features", "images"],
                     default="features")
     ap.add_argument("--stride", type=int, default=1)
@@ -45,7 +47,7 @@ def main(argv=None):
     from orb_slam3_comments_ghr_tpu.system import SLAM
     from orb_slam3_comments_ghr_tpu.utils import evaluation, gt_replay, synthetic
     from orb_slam3_comments_ghr_tpu.utils.config import (
-        SlamConfig, MONOCULAR, IMU_MONOCULAR,
+        SlamConfig, MONOCULAR, STEREO, IMU_MONOCULAR, IMU_STEREO,
     )
     from orb_slam3_comments_ghr_tpu.optim import imu as imu_mod
 
@@ -56,7 +58,12 @@ def main(argv=None):
     idx = list(range(0, n, args.stride))
 
     cam = cameras.euroc_cam0()
-    sensor = MONOCULAR if args.sensor == "mono" else IMU_MONOCULAR
+    sensor = {"mono": MONOCULAR, "imu-mono": IMU_MONOCULAR,
+              "stereo": STEREO, "imu-stereo": IMU_STEREO}[args.sensor]
+    stereo = sensor in (STEREO, IMU_STEREO)
+    if stereo and cam.bf <= 0:
+        from dataclasses import replace as _replace
+        cam = _replace(cam, bf=float(cam.fx) * 0.11)  # EuRoC ~11 cm baseline
     cfg = SlamConfig(
         sensor=sensor, n_features=args.n_features,
         min_init_matches=max(40, args.n_features // 10),
@@ -65,7 +72,7 @@ def main(argv=None):
     )
     imu_rows = None
     imu_calib = None
-    if sensor == IMU_MONOCULAR:
+    if cfg.is_inertial:
         imu_rows = gt_replay.synthesize_imu(times[:n], p_wc[:n], q_wc[:n])
         imu_calib = imu_mod.ImuCalib(
             Rbc=jnp.eye(3), tbc=jnp.zeros(3),
@@ -94,7 +101,7 @@ def main(argv=None):
         if args.render == "features":
             feats, _ = synthetic.render_features(
                 world, cam, R_cw[i], t_cw[i], n_feat=args.n_features,
-                seed=1000 + i)
+                seed=1000 + i, stereo=stereo)
             pose = slam.track_features(feats, ts)
         else:
             img = gt_replay.render_room(scene, cam, R_cw[i], t_cw[i])
