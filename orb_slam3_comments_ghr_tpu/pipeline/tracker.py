@@ -920,13 +920,19 @@ class Tracker:
         """Recovery ladder tail (Tracking.cc:2299-2322): young map => reset;
         established map => spawn a fresh sub-map to merge later."""
         m = self.map
-        if len(m.kf_ids()) < 10:
+        # an inertial map that never reached IMU initialization is useless as
+        # a stored sub-map (non-metric, no gravity) — reset it instead of
+        # keeping it (Tracking.cc:2299-2322: <10 KFs OR (IMU && !initialized)
+        # => ResetActiveMap, else CreateMapInAtlas)
+        imu_uninit = (self.cfg.is_inertial
+                      and not m.map_imu_init.get(int(m.active_map), False))
+        if len(m.kf_ids(m.active_map)) < 10 or imu_uninit:
             # reset active map: drop its kfs/mps AND its inertial staging —
             # a young map dying right after a (bad) IMU init must re-run the
             # init from scratch (Tracking.cc:2305-2310 ResetActiveMap)
-            for mp in m.mp_ids():
+            for mp in m.mp_ids(m.active_map):
                 m.remove_point(int(mp))
-            for kf in m.kf_ids():
+            for kf in m.kf_ids(m.active_map):
                 m.kf_valid[kf] = False
             m.map_imu_init[m.active_map] = False
             m.map_viba1[m.active_map] = False
