@@ -51,6 +51,11 @@ class LocalMapper:
         self.last_scale_refine_t = -1e18  # ScaleRefinement cadence clock
         self._imu_init_failures = 0
         self._staging_map = 0  # map id the viba1/viba2/t_imu_init clocks track
+        # mTinit (LocalMapping.cc:180-188): accumulated time spent IN MOTION
+        # since IMU init — each keyframe whose last two gaps moved > 5 cm
+        # adds its gap time. Gates the excitation watchdog and VIBA staging.
+        self.t_init_accum = 0.0
+        self._last_motion_kf = -1
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
@@ -154,6 +159,7 @@ class LocalMapper:
             self.viba1_done = m.map_viba1.get(mid, False)
             self.viba2_done = m.map_viba2.get(mid, False)
             self.t_imu_init = None
+            self.t_init_accum = 0.0
             self._imu_init_failures = 0
         chain = self._temporal_chain(kf)
         if len(chain) < 6:
@@ -210,21 +216,27 @@ class LocalMapper:
         # refinement stages
         if self.t_imu_init is None:
             self.t_imu_init = float(t_now)
-        elapsed = float(t_now) - self.t_imu_init
-        # insufficient-excitation watchdog (LocalMapping.cc:192-199): a young
-        # inertial map whose recent keyframes barely move cannot observe
-        # scale/velocity — the init was garbage; flag bad IMU so the tracker
-        # resets the active map and tries again once there is real motion
-        if elapsed < 10.0 and not self.viba2_done and len(chain) >= 3:
+        # mTinit semantics (LocalMapping.cc:180-199): time is accumulated
+        # only while MOVING (last two KF gaps > 5 cm total), and a still map
+        # that hasn't accumulated 10 s of motion is reset — scale/velocity
+        # were unobservable, the init is garbage. Wall-clock staging would
+        # disarm the watchdog during long hovers and stage VIBA too early.
+        if len(chain) >= 3 and chain[-1] != self._last_motion_kf:
+            self._last_motion_kf = chain[-1]
             recent = chain[-3:]
             dist = 0.0
             for a, b in zip(recent[:-1], recent[1:]):
                 ca = -m.kf_R[a].T @ m.kf_t[a]
                 cb = -m.kf_R[b].T @ m.kf_t[b]
                 dist += float(np.linalg.norm(cb - ca))
-            if dist < 0.02:
+            if dist > 0.05:
+                self.t_init_accum += float(
+                    m.kf_time[chain[-1]] - m.kf_time[chain[-2]]
+                )
+            if dist < 0.02 and self.t_init_accum < 10.0 and not self.viba2_done:
                 self.bad_imu = True
                 return
+        elapsed = self.t_init_accum
         stage = None
         if not self.viba1_done and elapsed > 5.0:
             stage = (1.0, 1e5)

@@ -441,6 +441,7 @@ class SLAM:
         self.mapper.viba1_done = False
         self.mapper.viba2_done = False
         self.mapper.t_imu_init = None
+        self.mapper.t_init_accum = 0.0
         self.mapper.recent_mps.clear()
         self.tracker.state = 1
         self.tracker.last_kf = -1
