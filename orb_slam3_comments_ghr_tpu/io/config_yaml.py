@@ -49,7 +49,9 @@ def _load_flat(path: str) -> dict:
     # PyYAML keeps as-is; nested mappings are flattened one level.
     flat = {}
     for k, v in doc.items():
-        if isinstance(v, dict):
+        # cv matrices (rows/cols/dt/data mappings, e.g. IMU.T_b_c1) must stay
+        # whole — flattening them would lose the 4x4 extrinsics
+        if isinstance(v, dict) and "data" not in v:
             for k2, v2 in v.items():
                 flat[f"{k}.{k2}"] = v2
         else:

@@ -81,7 +81,9 @@ def main(argv=None):
     slam = SLAM(cam, cfg, imu_calib=imu_calib)
 
     if args.render == "features":
-        world = gt_replay.make_hall_world(11, p_wc[:n])
+        # dense enough that ANY hover view clears the 500-keypoint stereo
+        # init gate (sparser worlds starve views facing the hall's far end)
+        world = gt_replay.make_hall_world(11, p_wc[:n], n_points=48000)
     else:
         scene = gt_replay.make_room_scene(11, p_wc[:n])
 

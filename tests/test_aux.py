@@ -48,6 +48,41 @@ class TestYamlSettings:
         assert cfg.max_frames_between_kf == 20
         assert calib is not None and calib.noise_g > 0
 
+    def test_v1_imu_extrinsics_and_stereo_baseline(self, tmp_path):
+        """ADVICE round-1 regressions: IMU.T_b_c1 must populate Rbc/tbc (the
+        EuRoC cam-IMU rotation is ~90 deg, not identity), Stereo.b (meters)
+        must become bf = b*fx, and bias random-walk sigmas divide by
+        sqrt(freq) (Settings.cc conventions)."""
+        import numpy as np
+        from orb_slam3_comments_ghr_tpu.io.config_yaml import load_settings
+        from orb_slam3_comments_ghr_tpu.utils.config import IMU_STEREO
+
+        p = tmp_path / "v1.yaml"
+        p.write_text(
+            "%YAML:1.0\n"
+            'File.version: "1.0"\n'
+            'Camera.type: "Rectified"\n'
+            "Camera1.fx: 450.0\nCamera1.fy: 450.0\n"
+            "Camera1.cx: 367.0\nCamera1.cy: 248.0\n"
+            "Camera.width: 752\nCamera.height: 480\nCamera.fps: 20\n"
+            "Stereo.b: 0.11\n"
+            "IMU.NoiseGyro: 1.7e-4\nIMU.NoiseAcc: 2.0e-3\n"
+            "IMU.GyroWalk: 2.0e-5\nIMU.AccWalk: 3.0e-3\nIMU.Frequency: 200\n"
+            "IMU.T_b_c1: !!opencv-matrix\n"
+            "  rows: 4\n  cols: 4\n  dt: f\n"
+            "  data: [0, 0, 1, 0.1,  -1, 0, 0, 0.02,  0, -1, 0, -0.03,"
+            "  0, 0, 0, 1]\n"
+            "ORBextractor.nFeatures: 1000\nORBextractor.scaleFactor: 1.2\n"
+            "ORBextractor.nLevels: 8\n"
+        )
+        cam, cfg, calib = load_settings(str(p), sensor=IMU_STEREO)
+        assert abs(cam.bf - 0.11 * 450.0) < 1e-6
+        Rbc = np.asarray(calib.Rbc)
+        assert np.allclose(Rbc, [[0, 0, 1], [-1, 0, 0], [0, -1, 0]], atol=1e-6)
+        assert np.allclose(np.asarray(calib.tbc), [0.1, 0.02, -0.03], atol=1e-6)
+        # walk sigmas divided by sqrt(freq): 2e-5 / sqrt(200)
+        assert abs(float(calib.walk_g) - 2.0e-5 / np.sqrt(200.0)) < 1e-12
+
     def test_missing_required_key(self, tmp_path):
         from orb_slam3_comments_ghr_tpu.io.config_yaml import load_settings
 
