@@ -239,6 +239,11 @@ class Tracker:
         self.last_t = (-Rcw2 @ c2).astype(np.float32)
         self.body_vel = (s * (R @ self.body_vel)).astype(np.float32)
         self.velocity = None
+        # the VI marginalization prior and the cached IMU prediction are
+        # expressed in the OLD world — stale after a gravity/scale transform
+        # (the reference re-seats frames via UpdateFrameIMU, Tracking.cc:4887)
+        self.vi_prior = None
+        self._last_prediction = None
 
     def _register_kf(self, kf: int):
         if self.kfdb is not None:

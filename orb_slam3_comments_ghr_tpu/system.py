@@ -344,6 +344,8 @@ class SLAM:
                 self.tracker.last_t = self.map.kf_t[kf].copy()
                 self.tracker.body_vel = self.map.kf_vel[kf].copy()
                 self.tracker.velocity = None
+                self.tracker.vi_prior = None
+                self.tracker._last_prediction = None
             if self.cfg.enable_loop_closing:
                 corrected = self.loopcloser.process_keyframe(kf)
                 if corrected:
@@ -353,6 +355,8 @@ class SLAM:
                     self.tracker.last_t = self.map.kf_t[kf].copy()
                     self.tracker.body_vel = self.map.kf_vel[kf].copy()
                     self.tracker.velocity = None
+                    self.tracker.vi_prior = None
+                    self.tracker._last_prediction = None
         return pose
 
     def _mapping_worker(self):
