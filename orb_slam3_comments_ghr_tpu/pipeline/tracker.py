@@ -534,10 +534,22 @@ class Tracker:
             R0, t0 = self._predict_pose()
             self._last_prediction = (R0.copy(), t0.copy())
             lp, ids = self._local_points_view()
-            wide = self.state != OK
+            # search-window multiplier: the reference's motion-model stage
+            # searches at th=7/15 before the th=1 local-map pass
+            # (ORBmatcher.cc SearchByProjection th args, Tracking.cc:3500
+            # retry at 2*th; SearchLocalPoints th=15 when recently lost with
+            # IMU). Our single fused pass must absorb the full prediction
+            # error, so widen with IMU (prediction error grows with bias /
+            # velocity error) and when not OK.
+            if self.state != OK:
+                th = 6.0
+            elif self._imu_ready():
+                th = 4.0
+            else:
+                th = 1.0
             res = programs.track_against_points(
                 self.cam, feats, lp, jnp.asarray(R0), jnp.asarray(t0),
-                th=3.0 if wide else 1.0,
+                th=th,
                 n_levels=cfg.n_levels, scale=cfg.scale_factor,
             )
         # ONE host<->device round trip for the whole result (skipped when the
@@ -594,9 +606,14 @@ class Tracker:
         n_ct = n_cu = 0
         if not cfg.is_mono:
             n_ct, n_cu = self._close_point_counts(feats, res, ids)
+        # KF decision runs whenever the frame tracked AT ALL (reference calls
+        # NeedNewKeyFrame on bOK, Tracking.cc:2648): the inertial c4 rule
+        # exists precisely to insert keyframes during WEAK (15<inl<75)
+        # stretches so the map grows back under the camera — gating creation
+        # on a strong track starves the map exactly when it must extend.
         if (
             not self.localization_only
-            and n_inl >= cfg.min_local_inliers
+            and n_inl >= cfg.min_track_matches
             and self._need_new_kf(n_inl, timestamp, n_ct, n_cu)
         ):
             self._create_new_kf(feats, timestamp, res, ids)
