@@ -363,15 +363,14 @@ class LoopCloser:
             m.mp_map_id[mps] = target
             m.active_map = int(target)
             if inertial:
-                # the merged map inherits the strongest inertial stage of
-                # either part (MergeLocal2 force-sets ImuInitialized/BA1/BA2)
+                # MergeLocal2 force-sets ImuInitialized/BA1/BA2 on the merged
+                # map (LoopClosing.cc:2560-2574) — among other things this
+                # DISARMS the insufficient-excitation watchdog, which would
+                # otherwise reset the whole merged map at the next still
+                # moment (its staging clocks restart at zero)
                 m.map_imu_init[target] = True
-                m.map_viba1[target] = bool(
-                    m.map_viba1.get(target, False) or m.map_viba1.get(active, False)
-                )
-                m.map_viba2[target] = bool(
-                    m.map_viba2.get(target, False) or m.map_viba2.get(active, False)
-                )
+                m.map_viba1[target] = True
+                m.map_viba2[target] = True
 
         # weld: fuse current window with candidate window
         window = [kf] + m.covisible_kfs(kf, k=15, min_weight=1)

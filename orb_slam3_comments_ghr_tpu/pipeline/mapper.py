@@ -55,6 +55,7 @@ class LocalMapper:
         # since IMU init — each keyframe whose last two gaps moved > 5 cm
         # adds its gap time. Gates the excitation watchdog and VIBA staging.
         self.t_init_accum = 0.0
+        self._t_accum_by_map: dict[int, float] = {}  # per-map mTinit store
         self._last_motion_kf = -1
 
     # ------------------------------------------------------------------ main
@@ -155,11 +156,14 @@ class LocalMapper:
         if mid != self._staging_map:
             # active map changed (sub-map spawn after loss, or a merge):
             # re-seat the staging clocks on the new map's recorded stages
+            # park the old map's motion clock, restore the new one's (mTinit
+            # is per-map state in the reference)
+            self._t_accum_by_map[self._staging_map] = self.t_init_accum
             self._staging_map = mid
             self.viba1_done = m.map_viba1.get(mid, False)
             self.viba2_done = m.map_viba2.get(mid, False)
             self.t_imu_init = None
-            self.t_init_accum = 0.0
+            self.t_init_accum = self._t_accum_by_map.get(mid, 0.0)
             self._imu_init_failures = 0
         chain = self._temporal_chain(kf)
         if len(chain) < 6:
