@@ -100,8 +100,13 @@ class TestInertialMerge:
         slam = kidnap_run["slam"]
         assert slam.loopcloser.n_merges >= 1, (
             slam.map.n_maps, slam.map.active_map)
-        # welded into the OLDER map, which stays inertial-initialized
-        assert slam.map.map_imu_init.get(int(slam.map.active_map), False)
+        # the weld target (map 0, the older map) received the full inertial
+        # stage: MergeLocal2 force-sets ImuInitialized/BA1/BA2
+        # (LoopClosing.cc:2560-2574), which also disarms the
+        # insufficient-excitation watchdog for the merged map
+        assert slam.map.map_imu_init.get(0, False)
+        assert slam.map.map_viba1.get(0, False)
+        assert slam.map.map_viba2.get(0, False)
 
     def test_weld_preserves_gravity_and_scale(self, kidnap_run):
         """The weld transform applied to the active map must be yaw-only
