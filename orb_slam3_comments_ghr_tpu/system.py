@@ -434,9 +434,9 @@ class SLAM:
         """Drop only the active sub-map (System::ResetActiveMap); resets the
         per-map inertial-init staging so a fresh attempt starts clean."""
         m = self.map
-        for mp in m.mp_ids():
+        for mp in m.mp_ids(m.active_map):
             m.remove_point(int(mp))
-        for kf in m.kf_ids():
+        for kf in m.kf_ids(m.active_map):
             m.kf_valid[kf] = False
             self.kfdb.erase(int(kf))
         m.map_imu_init[m.active_map] = False

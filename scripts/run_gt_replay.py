@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--n-features", type=int, default=1024)
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="overlap mapping with tracking (real-time mode; "
+                         "through the shared tunnel the mapper can lag the "
+                         "20 Hz timestamps and degrade accuracy — default is "
+                         "the offline synchronous mode)")
     ap.add_argument("--out", default=None, help="TUM trajectory output path")
     args = ap.parse_args(argv)
 
@@ -68,7 +73,7 @@ def main(argv=None):
         sensor=sensor, n_features=args.n_features,
         min_init_matches=max(40, args.n_features // 10),
         max_frames_between_kf=10,
-        async_mapping=True,
+        async_mapping=args.async_mapping,
     )
     imu_rows = None
     imu_calib = None
