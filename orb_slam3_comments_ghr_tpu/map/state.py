@@ -115,6 +115,7 @@ class MapState:
         self.active_map = 0
         self.n_maps = 1
         self.version = 0         # bumped on every structural mutation
+        self.n_kf_removed = 0    # diagnostics: total keyframes invalidated
         # per-map inertial flags (Map::IsInertial / IniertialBA1/2)
         self.map_imu_init: dict[int, bool] = {0: False}
         self.map_viba1: dict[int, bool] = {0: False}
@@ -197,6 +198,7 @@ class MapState:
             self.remove_observation(int(self.kf_feat_mp[kf, slot]), kf)
         self.kf_feat_mp[kf] = -1
         self.kf_valid[kf] = False
+        self.n_kf_removed += 1
         p = int(self.kf_parent[kf])
         if p >= 0:
             T_c = np.eye(4, dtype=np.float32)

@@ -949,6 +949,7 @@ class Tracker:
         imu_uninit = (self.cfg.is_inertial
                       and not m.map_imu_init.get(int(m.active_map), False))
         if len(m.kf_ids(m.active_map)) < 10 or imu_uninit:
+            self.n_lost_resets = getattr(self, "n_lost_resets", 0) + 1
             # reset active map: drop its kfs/mps AND its inertial staging —
             # a young map dying right after a (bad) IMU init must re-run the
             # init from scratch (Tracking.cc:2305-2310 ResetActiveMap)
@@ -960,6 +961,7 @@ class Tracker:
             m.map_viba1[m.active_map] = False
             m.map_viba2[m.active_map] = False
         else:
+            self.n_submap_spawns = getattr(self, "n_submap_spawns", 0) + 1
             m.create_new_map()
         self.state = NOT_INITIALIZED
         self._init_feats = None

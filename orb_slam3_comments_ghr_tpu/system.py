@@ -433,6 +433,7 @@ class SLAM:
     def reset_active_map(self):
         """Drop only the active sub-map (System::ResetActiveMap); resets the
         per-map inertial-init staging so a fresh attempt starts clean."""
+        self.n_map_resets = getattr(self, "n_map_resets", 0) + 1
         m = self.map
         for mp in m.mp_ids(m.active_map):
             m.remove_point(int(mp))

@@ -37,6 +37,8 @@ def main(argv=None):
                          "through the shared tunnel the mapper can lag the "
                          "20 Hz timestamps and degrade accuracy — default is "
                          "the offline synchronous mode)")
+    ap.add_argument("--no-loop", action="store_true",
+                    help="disable loop closing / merging (isolation runs)")
     ap.add_argument("--out", default=None, help="TUM trajectory output path")
     args = ap.parse_args(argv)
 
@@ -74,6 +76,7 @@ def main(argv=None):
         min_init_matches=max(40, args.n_features // 10),
         max_frames_between_kf=10,
         async_mapping=args.async_mapping,
+        enable_loop_closing=not args.no_loop,
     )
     imu_rows = None
     imu_calib = None
@@ -128,6 +131,21 @@ def main(argv=None):
     gt = gt_replay.gt_as_tum(times[:n], R_cw[:n], t_cw[:n])
     ate = evaluation.ate_rmse(est, gt, with_scale=True)
     ate_noscale = evaluation.ate_rmse(est, gt, with_scale=False)
+    # dominant-map ATE: frames whose reference keyframe lives in the largest
+    # map (sub-map fragments have unrelated world frames; mixing them into
+    # one Horn alignment is meaningless)
+    from collections import Counter
+    recs = [r for r in slam.tracker.records if not r.lost and r.ref_kf >= 0]
+    mid_of = lambda r: int(slam.map.kf_map_id[r.ref_kf])
+    counts = Counter(mid_of(r) for r in recs)
+    ate_main = float("nan")
+    main_frac = 0.0
+    if counts:
+        main_map, n_main = counts.most_common(1)[0]
+        main_ts = {r.timestamp for r in recs if mid_of(r) == main_map}
+        est_main = [e for e in est if e[0] in main_ts]
+        ate_main = evaluation.ate_rmse(est_main, gt, with_scale=False)
+        main_frac = n_main / max(len(recs), 1)
     med = float(np.median(frame_times[10:])) if len(frame_times) > 20 else 0.0
     if args.out:
         slam.save_trajectory_tum(args.out)
@@ -137,10 +155,16 @@ def main(argv=None):
         "tracked_ratio": round(n_tracked / max(len(idx), 1), 3),
         "ate_rmse_m": round(float(ate), 4),
         "ate_rmse_noscale_m": round(float(ate_noscale), 4),
+        "ate_main_map_noscale_m": round(float(ate_main), 4),
+        "main_map_frame_frac": round(main_frac, 3),
         "fps_median": round(1.0 / max(med, 1e-9), 2),
         "wall_s": round(wall, 1),
         "keyframes": slam.n_keyframes(), "map_points": slam.n_map_points(),
         "maps": slam.map.n_maps, "loops": slam.loopcloser.n_loops,
+        "kf_removed": slam.map.n_kf_removed,
+        "map_resets": getattr(slam, "n_map_resets", 0),
+        "lost_resets": getattr(slam.tracker, "n_lost_resets", 0),
+        "submap_spawns": getattr(slam.tracker, "n_submap_spawns", 0),
         "merges": slam.loopcloser.n_merges,
     }))
 
