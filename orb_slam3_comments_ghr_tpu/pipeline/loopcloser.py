@@ -301,9 +301,17 @@ class LoopCloser:
             # transform window KFs: S_i' = S_i ∘ dSw^-1 ; points: p' = dSw(p)
             swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
             for k in window:
-                sk, Rk, tk = _np_sim3_mul(1.0, m.kf_R[k].astype(np.float64), m.kf_t[k].astype(np.float64), swi, Rwi, twi)
+                R_before = m.kf_R[k].astype(np.float64)
+                sk, Rk, tk = _np_sim3_mul(1.0, R_before, m.kf_t[k].astype(np.float64), swi, Rwi, twi)
                 m.kf_R[k] = Rk.astype(np.float32)
                 m.kf_t[k] = (tk / sk).astype(np.float32)  # renormalize scale into translation
+                # rotate the stored world-frame body velocity by the pose
+                # correction (Rcor = Rcw_new^T Rcw_old, LoopClosing.cc:1552) —
+                # stale velocities wreck the next IMU predictions and were the
+                # post-loop tracking-loss trigger on the MH01 replay
+                m.kf_vel[k] = (
+                    float(sk) * (Rk.T @ R_before @ m.kf_vel[k].astype(np.float64))
+                ).astype(np.float32)
             m.mp_pos[pts] = (sw * (m.mp_pos[pts].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
 
         # fuse: project loop-side points into the corrected window KFs
@@ -314,8 +322,16 @@ class LoopCloser:
         # essential-graph optimization over the whole active map
         self._optimize_essential_graph(kf, cand, pre_R, pre_t, pre_covis)
         # full-map BA with abort + new-KF propagation (RunGlobalBundle-
-        # Adjustment, LoopClosing.cc:3067)
-        self._global_ba(iters=10)
+        # Adjustment, LoopClosing.cc:3067). Reference gate (:1669): GBA after
+        # a loop only when the map is NOT IMU-initialized, or is small and
+        # the atlas has one map — a VISUAL-only full BA on an inertial map
+        # ignores the gravity/velocity/bias constraints and warps the map the
+        # VI tracker then fights (the 4 m ATE failure on the MH01 replay).
+        # (The reference's inertial small-map GBA is FullInertialBA; the
+        # windowed welding VI-BA already covered the loop region here.)
+        mid = int(m.kf_map_id[kf])
+        if not (self.cfg.is_inertial and m.map_imu_init.get(mid, False)):
+            self._global_ba(iters=10)
         m.version += 1
 
     def _merge_maps(self, kf: int, cand: int, s12, R12, t12):
@@ -501,6 +517,12 @@ class LoopCloser:
             old_R = m.kf_R[kfs].copy()
             old_t = m.kf_t[kfs].copy()
             for i, k in enumerate(kfs):
+                # velocity follows the pose correction (Rcor = Rcw_new^T
+                # Rcw_old; LoopClosing.cc:1552 applies the same after Sim3
+                # corrections — stale velocities poison IMU prediction)
+                m.kf_vel[k] = (
+                    s[i] * (R[i].T @ old_R[i] @ m.kf_vel[k])
+                ).astype(np.float32)
                 m.kf_R[k] = R[i]
                 m.kf_t[k] = t[i] / s[i]
             # correct map points through their first observing KF's
