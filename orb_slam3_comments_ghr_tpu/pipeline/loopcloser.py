@@ -89,6 +89,18 @@ class LoopCloser:
             return False
         self._pending = None
         same_map = m.kf_map_id[cand] == m.kf_map_id[kf]
+        import os as _os
+        if _os.environ.get("SLAM_DEBUG_LOOPS"):
+            import sys as _sys
+            from ..ops import lie as _lie
+            import jax.numpy as _jnp
+            ang = float(_jnp.linalg.norm(_lie.so3_log(_jnp.asarray(R12))))
+            print(
+                f"[loopcloser] kf={kf} cand={cand} same_map={bool(same_map)} "
+                f"s12={s12:.4f} |t12|={float(np.linalg.norm(t12)):.3f} "
+                f"rot={ang:.3f} n={n_matches}",
+                file=_sys.stderr, flush=True,
+            )
         # inertial acceptance gates (LoopClosing.cc:171-198, :287-311):
         # merges must not change scale by >10%; loops must keep gravity —
         # roll/pitch of the correction < 0.008 rad (yaw is free)
@@ -115,8 +127,13 @@ class LoopCloser:
         s12, R12, t12, n_inliers) with S12 mapping candidate-cam points into
         current-KF cam frame, or None."""
         m = self.map
-        # exclude the covisible neighborhood (they trivially share words)
-        exclude = set([kf] + m.covisible_kfs(kf, k=30, min_weight=1))
+        # exclude the WHOLE connected set (every keyframe sharing map points)
+        # — the reference queries the database with GetConnectedKeyFrames
+        # (KeyFrameDatabase.cc:692): a keyframe that co-observes the current
+        # scene is the SAME place seen from elsewhere, not a loop; treating
+        # it as one injects near-identity "corrections" whose errors
+        # accumulate. Only keyframes sharing nothing are loop candidates.
+        exclude = set([kf]) | set(m.covisibility(kf).keys())
         qbow = self.kfdb.bow[kf]
         cands = self.kfdb.detect_candidates(qbow, exclude, m, n_best=3)
         for cand in cands:
@@ -359,6 +376,8 @@ class LoopCloser:
             # both worlds are gravity-aligned (-z): project the weld onto a
             # rotation about gravity so neither map's alignment is disturbed
             # (LoopClosing.cc:171-198 yaw-only correction) ...
+            c_old = -(R_old.T @ t_old)            # weld KF center, active world
+            c_target = sw * (Rw @ c_old) + tw     # where the full weld puts it
             yaw = math.atan2(Rw[1, 0], Rw[0, 0])
             cy, sy = math.cos(yaw), math.sin(yaw)
             Rw = np.array(
@@ -367,6 +386,11 @@ class LoopCloser:
             # ... and once both scales are metric (post-VIBA1), freeze s=1
             if m.map_viba1.get(active, False) and m.map_viba1.get(target, False):
                 sw = 1.0
+            # re-anchor the translation so the CURRENT keyframe still lands
+            # exactly on its verified corrected pose — projecting the rotation
+            # (or freezing scale) without recomputing tw would shift the whole
+            # welded map by the discarded roll/pitch/scale times the lever arm
+            tw = c_target - sw * (Rw @ c_old)
 
         # whole-map weld transform: poses, points, velocities, normals,
         # scale-distance bands (Map::ApplyScaledRotation; takes m.lock)

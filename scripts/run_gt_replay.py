@@ -31,6 +31,7 @@ def main(argv=None):
                     default="features")
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--start-frame", type=int, default=0)
     ap.add_argument("--n-features", type=int, default=1024)
     ap.add_argument("--async-mapping", action="store_true",
                     help="overlap mapping with tracking (real-time mode; "
@@ -62,7 +63,7 @@ def main(argv=None):
     n = len(times)
     if args.max_frames:
         n = min(n, args.max_frames)
-    idx = list(range(0, n, args.stride))
+    idx = list(range(args.start_frame, n, args.stride))
 
     cam = cameras.euroc_cam0()
     sensor = {"mono": MONOCULAR, "imu-mono": IMU_MONOCULAR,

@@ -122,3 +122,49 @@ class TestDriftDistribution:
         # 4) map points rode along with their reference keyframe
         p_cam_after = m.kf_R[ref_mid] @ m.mp_pos[p_mid] + m.kf_t[ref_mid]
         np.testing.assert_allclose(p_cam_after, p_cam_before, atol=5e-2)
+
+
+class TestDriftDistributionInertial4DoF:
+    def test_dof4_graph_corrects_yaw_drift(self):
+        """Inertial maps past VIBA2 use the 4-DoF (yaw+translation) essential
+        graph (Optimizer.cc:4870). Pure yaw odometry drift is exactly its
+        correctable subspace — the corrected ring must approach ground truth
+        WITHOUT disturbing gravity (no roll/pitch introduced)."""
+        from orb_slam3_comments_ghr_tpu.utils.config import IMU_STEREO
+
+        m, ids, (gt_R, gt_t), (st_R, st_t) = _build_drifted_ring()
+        n = len(ids)
+        cfg = SlamConfig(sensor=IMU_STEREO, n_features=8)
+        mapper = LocalMapper(CAM, cfg, m)
+        lc = LoopCloser(CAM, cfg, m, kfdb=None, mapper=mapper)
+        m.map_imu_init[m.active_map] = True
+        m.map_viba1[m.active_map] = True
+        m.map_viba2[m.active_map] = True  # -> dof4 graph
+        # plausible world-frame velocities so the velocity-rotation path runs
+        for k in ids:
+            m.kf_vel[k] = np.array([0.1, 0.0, 0.0], np.float32)
+
+        pre_R = m.kf_R.copy()
+        pre_t = m.kf_t.copy()
+        last, first = ids[-1], ids[0]
+        m.kf_R[last] = gt_R[n - 1]
+        m.kf_t[last] = gt_t[n - 1]
+
+        cam_center = lambda R, t: -R.T @ t
+        errs_before = [
+            np.linalg.norm(cam_center(st_R[k], st_t[k])
+                           - cam_center(gt_R[k], gt_t[k]))
+            for k in range(n)
+        ]
+        lc._optimize_essential_graph(last, first, pre_R, pre_t, pre_covis={})
+        errs_after = [
+            np.linalg.norm(cam_center(m.kf_R[ids[k]], m.kf_t[ids[k]])
+                           - cam_center(gt_R[k], gt_t[k]))
+            for k in range(n)
+        ]
+        assert np.mean(errs_after) < 0.4 * np.mean(errs_before), (
+            np.mean(errs_before), np.mean(errs_after))
+        # gravity preserved: corrected rotations keep world-z as rotation axis
+        # (the ring is planar, so Rcw[2,2] must stay ~1)
+        for k in range(0, n, 5):
+            assert m.kf_R[ids[k]][2, 2] > 0.999, (k, m.kf_R[ids[k]])
