@@ -61,12 +61,18 @@ class ImuFrontend:
             jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
             jnp.asarray(self.bias), self.calib,
         )
-        if (self._pre_kf is not None
+        if (self._pre_kf_bias is not None
                 and np.array_equal(self._pre_kf_bias, self.bias)):
-            self._pre_kf = imu_mod.preintegrate_continue(
-                self._pre_kf, jnp.asarray(acc), jnp.asarray(gyr),
-                jnp.asarray(dts), self.calib,
-            )
+            if self._pre_kf is None:
+                # first chunk after on_new_keyframe: the per-frame chunk IS
+                # the from-KF preintegration (the KF was created at the
+                # previous frame time), so it seeds the accumulator
+                self._pre_kf = pre
+            else:
+                self._pre_kf = imu_mod.preintegrate_continue(
+                    self._pre_kf, jnp.asarray(acc), jnp.asarray(gyr),
+                    jnp.asarray(dts), self.calib,
+                )
         else:
             self._pre_kf = None  # bias changed: lazily rebuilt from raw rows
         self.last_frame_time = t_frame

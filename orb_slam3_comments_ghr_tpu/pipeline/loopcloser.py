@@ -212,7 +212,13 @@ class LoopCloser:
         lv_q = m.kf_feat_level[kf]
         lv_c = m.kf_feat_level[cand, idx_np]
 
+        # bFixedScale (LoopClosing.cc:798-801): scale fixed for all sensors
+        # except pure mono; mono-inertial fixes scale only once VIBA2 has
+        # made the map metric (before that the loop Sim3 must absorb scale
+        # drift of the not-yet-refined map)
         fix_scale = not self.cfg.is_mono
+        if self.cfg.is_mono and self.cfg.is_inertial:
+            fix_scale = bool(m.map_viba2.get(int(m.kf_map_id[kf]), False))
         key = jnp.asarray(self._rng.integers(0, 2**31, 2), jnp.uint32)
         s, R, t, inl, n = sim3_mod.sim3_ransac(
             self.cam, jnp.asarray(Xq), jnp.asarray(Xc),
@@ -325,9 +331,11 @@ class LoopCloser:
                 # rotate the stored world-frame body velocity by the pose
                 # correction (Rcor = Rcw_new^T Rcw_old, LoopClosing.cc:1552) —
                 # stale velocities wreck the next IMU predictions and were the
-                # post-loop tracking-loss trigger on the MH01 replay
+                # post-loop tracking-loss trigger on the MH01 replay. The
+                # world correction is x' = sw*Rw@x + tw, so velocities scale
+                # by sw = 1/sk (Rk.T @ R_before reduces to Rw).
                 m.kf_vel[k] = (
-                    float(sk) * (Rk.T @ R_before @ m.kf_vel[k].astype(np.float64))
+                    (Rk.T @ R_before @ m.kf_vel[k].astype(np.float64)) / float(sk)
                 ).astype(np.float32)
             m.mp_pos[pts] = (sw * (m.mp_pos[pts].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
 
@@ -372,7 +380,13 @@ class LoopCloser:
         sw, Rw, tw = _np_sim3_mul(si, Ri, ti, 1.0, R_old, t_old)
 
         inertial = self.cfg.is_inertial and m.map_imu_init.get(active, False)
-        if inertial and m.map_imu_init.get(target, False):
+        # MergeLocal2 (the inertial weld) requires BOTH maps IMU-initialized
+        # (LoopClosing.cc:2451 runs only from the inertial branch where the
+        # matched map is metric); welding an uninitialized target and then
+        # force-marking it VI-refined would disarm the excitation watchdog on
+        # a non-metric frame
+        both_inertial = inertial and m.map_imu_init.get(target, False)
+        if both_inertial:
             # both worlds are gravity-aligned (-z): project the weld onto a
             # rotation about gravity so neither map's alignment is disturbed
             # (LoopClosing.cc:171-198 yaw-only correction) ...
@@ -402,7 +416,7 @@ class LoopCloser:
             m.kf_map_id[kfs] = target
             m.mp_map_id[mps] = target
             m.active_map = int(target)
-            if inertial:
+            if both_inertial:
                 # MergeLocal2 force-sets ImuInitialized/BA1/BA2 on the merged
                 # map (LoopClosing.cc:2560-2574) — among other things this
                 # DISARMS the insufficient-excitation watchdog, which would
@@ -418,7 +432,7 @@ class LoopCloser:
         loop_pts = m.local_point_ids(loop_window, cap=self.cfg.local_points_cap)
         self._fuse_points_into(window, loop_pts)
         # welding BA over the union window
-        if inertial:
+        if both_inertial:
             self.mapper.merge_inertial_ba(kf, cand)
         else:
             self.mapper.local_ba(kf)
@@ -543,9 +557,11 @@ class LoopCloser:
             for i, k in enumerate(kfs):
                 # velocity follows the pose correction (Rcor = Rcw_new^T
                 # Rcw_old; LoopClosing.cc:1552 applies the same after Sim3
-                # corrections — stale velocities poison IMU prediction)
+                # corrections — stale velocities poison IMU prediction).
+                # Point write-back is p' = (1/s) Rnew^T(Rold p + ...) so the
+                # per-KF world correction scales velocities by 1/s[i].
                 m.kf_vel[k] = (
-                    s[i] * (R[i].T @ old_R[i] @ m.kf_vel[k])
+                    (R[i].T @ old_R[i] @ m.kf_vel[k]) / s[i]
                 ).astype(np.float32)
                 m.kf_R[k] = R[i]
                 m.kf_t[k] = t[i] / s[i]

@@ -519,7 +519,7 @@ class LocalMapper:
             obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
             obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
             obs_valid=jnp.asarray(obs_valid),
-            pre=pre_stack, pre_valid=jnp.ones(K - 1, bool),
+            pre=pre_stack, pre_valid=jnp.asarray(pre_ok),
         )
         Rwb_n, pwb_n, vel_n, bias_n, p_n, inlier, _ = vi_ba.vi_bundle_adjust(
             self.cam, prob, iters=iters

@@ -586,7 +586,7 @@ class Tracker:
         self.last_R = np.asarray(res.R)
         self.last_t = np.asarray(res.t)
         if self._imu_ready() and self.last_kf >= 0:
-            self._vi_refine(feats, res, ids)
+            self._vi_refine(feats, res, ids, timestamp)
         dt = max(timestamp - self.last_time, 1e-6)
         # body velocity estimate (world frame) from camera-center motion
         c_prev = -prev_R.T @ prev_t
@@ -619,15 +619,18 @@ class Tracker:
             self._create_new_kf(feats, timestamp, res, ids)
         return n_inl >= (cfg.min_local_inliers if self.state == OK else cfg.min_track_matches)
 
-    def _vi_refine(self, feats, res, ids):
+    def _vi_refine(self, feats, res, ids, timestamp):
         """Visual-inertial pose refinement for the current frame
         (PoseInertialOptimizationLastKeyFrame, Optimizer.cc:435): reprojection
         of the tracked matches + preintegration from the last keyframe +
-        bias random walk, on the 15-dof body state."""
+        bias random walk, on the 15-dof body state. The inertial factor spans
+        [last KF, CURRENT frame] (mpImuPreintegratedFromLastKF semantics) —
+        the prologue's preintegrate_frame already advanced the accumulator to
+        `timestamp`, so this hits the incremental fast path."""
         from ..optim import inertial, pose_opt
         m = self.map
         kf = self.last_kf
-        pre = self.imu.preintegrate_since_kf(self.last_kf_time, self.last_time)
+        pre = self.imu.preintegrate_since_kf(self.last_kf_time, timestamp)
         if float(pre.dT) <= 1e-6:
             return
         Rbc = np.asarray(self.imu.calib.Rbc)
@@ -957,6 +960,10 @@ class Tracker:
                 m.remove_point(int(mp))
             for kf in m.kf_ids(m.active_map):
                 m.kf_valid[kf] = False
+                # mirror SLAM.reset_active_map: stale present=True entries
+                # would keep displacing live candidates in top-k retrieval
+                if self.kfdb is not None:
+                    self.kfdb.erase(int(kf))
             m.map_imu_init[m.active_map] = False
             m.map_viba1[m.active_map] = False
             m.map_viba2[m.active_map] = False

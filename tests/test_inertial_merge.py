@@ -130,6 +130,98 @@ class TestInertialMerge:
         assert kidnap_run["tracked"] > 80
 
 
+def test_seam_link_carries_no_inertial_factor():
+    """Regression for the pre_valid seam-mask bug: _run_vi_ba must mask the
+    inertial factor on `seam` links and links without a preintegration.
+    An unmasked EMPTY preintegration (zero covariance -> ~1e9 information,
+    imu.py information()) acts as a rigid zero-motion factor that welds the
+    two chains' seam keyframes into the same pose — exactly what
+    MergeInertialBA's docstring promises to prevent (Optimizer.cc:6034 welds
+    via shared observations, not a fake inertial link)."""
+    import types as _types
+    from orb_slam3_comments_ghr_tpu.map.state import MapState, MapConfig
+    from orb_slam3_comments_ghr_tpu.pipeline.mapper import LocalMapper
+
+    mc = MapConfig(max_kf=16, max_mp=1024, n_feat=256, obs_cap=8)
+    cfg = SlamConfig(n_features=256, local_ba_points=512)
+    m = MapState(mc)
+    mapper = LocalMapper(CAM, cfg, m)
+    calib = imu_mod.ImuCalib(
+        Rbc=jnp.eye(3), tbc=jnp.zeros(3),
+        noise_g=1e-4, noise_a=1e-3, walk_g=1e-6, walk_a=1e-5,
+    )
+    mapper.imu = _types.SimpleNamespace(calib=calib, bias=np.zeros(6, np.float32))
+
+    def feats(n=256):
+        return {
+            "xy": np.zeros((n, 2), np.float32), "level": np.zeros(n, np.int32),
+            "angle": np.zeros(n, np.float32), "desc": np.zeros((n, 8), np.uint32),
+            "valid": np.ones(n, bool), "u_right": np.full(n, -1.0, np.float32),
+            "depth": np.full(n, -1.0, np.float32),
+        }
+
+    # two constant-velocity fragments along +x; seam gap of 1.0 m between
+    # KF2 (end of chain A) and KF3 (start of chain B). Identity orientation,
+    # camera == body. Tcw: R=I, t=-c.
+    centers = [0.0, 0.1, 0.2, 1.2, 1.3, 1.4]
+    rng = np.random.default_rng(9)
+    kf_ids = []
+    for i, cx in enumerate(centers):
+        t = np.array([-cx, 0.0, 0.0], np.float32)
+        kf = m.add_keyframe(np.eye(3, dtype=np.float32), t, feats(),
+                            timestamp=0.5 * i, parent=kf_ids[-1] if kf_ids else -1)
+        m.kf_vel[kf] = np.array([0.2, 0.0, 0.0], np.float32)
+        kf_ids.append(kf)
+
+    # each fragment observes its own exact-reprojection point cloud — no
+    # cross-fragment observations, so only a (bogus) seam factor could move
+    # the fragments relative to each other
+    slot_ctr = {k: 0 for k in kf_ids}
+    for frag, base in ((kf_ids[:3], 0.1), (kf_ids[3:], 1.3)):
+        pts = rng.uniform([base - 2, -1.5, 6], [base + 2, 1.5, 10],
+                          (60, 3)).astype(np.float32)
+        desc = rng.integers(0, 2 ** 32, (60, 8), dtype=np.uint32)
+        for j in range(60):
+            kf0 = frag[0]
+            slot0 = slot_ctr[kf0]
+            uv0 = np.asarray(cameras.project(
+                CAM, jnp.asarray((m.kf_R[kf0] @ pts[j] + m.kf_t[kf0])[None]))[0])
+            m.kf_feat_xy[kf0, slot0] = uv0
+            mp = m.add_map_points(pts[j][None], desc[j][None], kf0,
+                                  np.array([slot0]))[0]
+            slot_ctr[kf0] = slot0 + 1
+            for kf in frag[1:]:
+                pc = m.kf_R[kf] @ pts[j] + m.kf_t[kf]
+                uv = np.asarray(cameras.project(CAM, jnp.asarray(pc[None]))[0])
+                if not (0 <= uv[0] < CAM.width and 0 <= uv[1] < CAM.height):
+                    continue
+                slot = slot_ctr[kf]
+                m.kf_feat_xy[kf, slot] = uv
+                m.add_observation(int(mp), kf, slot)
+                slot_ctr[kf] = slot + 1
+
+    # consistent intra-fragment preintegrations (constant velocity: specific
+    # force = -g in body frame); the seam link (chain index 2) gets none
+    acc = np.tile(np.array([[0.0, 0.0, imu_mod.GRAVITY]], np.float32), (50, 1))
+    gyr = np.zeros((50, 3), np.float32)
+    dts = np.full((50,), 0.01, np.float32)
+    for k in (kf_ids[1], kf_ids[2], kf_ids[4], kf_ids[5]):
+        mapper.kf_preint[k] = imu_mod.preintegrate(
+            jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
+            jnp.zeros(6), calib)
+
+    pts_all = m.local_point_ids(kf_ids, cfg.local_ba_points)
+    mapper._run_vi_ba(kf_ids, pts_all, iters=8, seam={2})
+
+    def center(k):
+        return -m.kf_R[k].T @ m.kf_t[k]
+
+    gap = np.linalg.norm(center(kf_ids[3]) - center(kf_ids[2]))
+    assert 0.9 < gap < 1.1, f"seam collapsed/stretched: gap={gap:.3f} (want ~1.0)"
+    intra = np.linalg.norm(center(kf_ids[1]) - center(kf_ids[0]))
+    assert 0.05 < intra < 0.15, intra
+
+
 def test_viba2_gate():
     """With loop_requires_viba2 (the reference default), place recognition is
     disabled on inertial maps until VIBA2 (LoopClosing.cc:413)."""
