@@ -21,10 +21,12 @@ def main():
     import os
     import jax
 
-    # persistent compile cache: TPU compiles are minutes cold, instant warm
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent compile cache (machine-keyed; TPU compiles are minutes cold)
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from orb_slam3_comments_ghr_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache(jax, os.path.dirname(os.path.abspath(__file__)),
+                        min_compile_secs=1.0)
     import jax.numpy as jnp
     from orb_slam3_comments_ghr_tpu.ops import cameras
     from orb_slam3_comments_ghr_tpu.system import SLAM

@@ -75,9 +75,49 @@ def _opt(flat: dict, default, *names):
     return default
 
 
+def _rig_from_flat(flat: dict):
+    """Stereo rectification precompute (Settings.h:153-163 needToRectify):
+    raw stereo YAMLs declare Camera2.* + Stereo.T_c1_c2 (right-in-left
+    extrinsics); build the undistort+rectify maps and the rectified rig.
+    Returns a rectify.StereoRectifier, or None when the YAML is already
+    rectified or the rig is fisheye (KB8 rigs are matched unrectified,
+    Settings.cc:153 area / SLAM.track_stereo_fisheye)."""
+    import numpy as np
+
+    if "Camera2.fx" not in flat or "Stereo.T_c1_c2" not in flat:
+        return None
+    if "Kannala" in str(_opt(flat, "PinHole", "Camera.type", "Camera1.type")):
+        return None
+    from .rectify import build_rectifier
+
+    node = flat["Stereo.T_c1_c2"]
+    T = np.asarray(node["data"], np.float64).reshape(4, 4)
+
+    def intr(prefix):
+        return {
+            k: float(_opt(flat, 0.0, f"{prefix}.{k}"))
+            for k in ("fx", "fy", "cx", "cy", "k1", "k2", "p1", "p2", "k3")
+        }
+
+    return build_rectifier(
+        intr("Camera1"), intr("Camera2"), T[:3, :3], T[:3, 3],
+        width=int(_opt(flat, 752, "Camera.width", "Camera1.width")),
+        height=int(_opt(flat, 480, "Camera.height", "Camera1.height")),
+        fps=float(_opt(flat, 20.0, "Camera.fps")),
+    )
+
+
+def load_stereo_rig(path: str):
+    """Public: the rectifier for a raw stereo YAML (or None)."""
+    return _rig_from_flat(_load_flat(path))
+
+
 def load_settings(path: str, sensor: Optional[int] = None):
     """Returns (Camera, SlamConfig, ImuCalib|None). Accepts both v1.0
-    ('Camera1.fx') and legacy ('Camera.fx') key schemas."""
+    ('Camera1.fx') and legacy ('Camera.fx') key schemas. For RAW stereo
+    YAMLs (Camera2 + Stereo.T_c1_c2) the returned camera is the RECTIFIED
+    rig (Settings.cc precomputes the maps and swaps intrinsics the same
+    way); fetch the per-frame maps with load_stereo_rig."""
     flat = _load_flat(path)
     cam_type = str(_opt(flat, "PinHole", "Camera.type", "Camera1.type"))
     kind = cameras.KANNALA_BRANDT8 if "Kannala" in cam_type else cameras.PINHOLE
@@ -104,6 +144,10 @@ def load_settings(path: str, sensor: Optional[int] = None):
     )
     if sensor is None:
         sensor = MONOCULAR
+    if sensor in (STEREO, IMU_STEREO):
+        rig = _rig_from_flat(flat)
+        if rig is not None:
+            cam = rig.cam_rect
     cfg = SlamConfig(
         sensor=sensor,
         n_features=int(_opt(flat, 1024, "ORBextractor.nFeatures")),

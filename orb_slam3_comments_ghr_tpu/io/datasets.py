@@ -86,18 +86,34 @@ class EurocDataset:
         return len(self.cam0)
 
     def __iter__(self) -> Iterator[Frame]:
-        prev_t = -np.inf
-        for i, (t, path) in enumerate(self.cam0):
-            img = load_image(path)
-            img_r = None
-            if self.stereo and i < len(self.cam1):
-                img_r = load_image(self.cam1[i][1])
-            chunk = None
-            if self.use_imu and len(self.imu):
-                sel = (self.imu[:, 0] > prev_t) & (self.imu[:, 0] <= t)
-                chunk = self.imu[sel]
-            prev_t = t
-            yield Frame(timestamp=t, img=img, img_right=img_r, imu=chunk)
+        # decode + prefetch on native worker threads (native/slamio.cpp ring
+        # buffer) so image IO overlaps tracking — the reference gets this for
+        # free from its ROS message queues (ros_stereo_inertial.cc:49-70);
+        # falls back to the Python decoder when the .so can't be built
+        from .native_loader import PrefetchLoader
+
+        left = PrefetchLoader([p for _, p in self.cam0])
+        right = (
+            PrefetchLoader([p for _, p in self.cam1][: len(self.cam0)])
+            if self.stereo and self.cam1 else None
+        )
+        try:
+            prev_t = -np.inf
+            for i, (t, _path) in enumerate(self.cam0):
+                img = left.next()
+                img_r = None
+                if right is not None and i < len(self.cam1):
+                    img_r = right.next()
+                chunk = None
+                if self.use_imu and len(self.imu):
+                    sel = (self.imu[:, 0] > prev_t) & (self.imu[:, 0] <= t)
+                    chunk = self.imu[sel]
+                prev_t = t
+                yield Frame(timestamp=t, img=img, img_right=img_r, imu=chunk)
+        finally:
+            left.close()
+            if right is not None:
+                right.close()
 
 
 class TumRgbdDataset:

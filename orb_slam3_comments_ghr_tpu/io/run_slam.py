@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--viz", default=None,
                     help="directory for map/frame PNG renders (Viewer analog)")
+    ap.add_argument("--clahe", action="store_true",
+                    help="CLAHE-equalize frames (clip 3.0, 8x8 tiles) like "
+                         "the reference ROS drivers "
+                         "(ros_stereo_inertial.cc:68-69)")
     args = ap.parse_args(argv)
 
     from dataclasses import replace
@@ -77,6 +81,16 @@ def main(argv=None):
 
     use_stereo = sensor in (STEREO, IMU_STEREO)
     use_imu = cfg.is_inertial
+    # raw (unrectified) stereo YAML: per-frame rectification through the
+    # precomputed maps (Settings.h:153-163 / cv::remap in the ROS drivers)
+    rig = None
+    if use_stereo and args.settings:
+        from .config_yaml import load_stereo_rig
+
+        rig = load_stereo_rig(args.settings)
+    equalize = None
+    if args.clahe:
+        from ..frontend.clahe import clahe as equalize
     if args.dataset == "euroc":
         ds = datasets.EurocDataset(args.root, stereo=use_stereo, imu=use_imu)
     else:
@@ -89,12 +103,19 @@ def main(argv=None):
             break
         if fr.imu is not None and len(fr.imu):
             slam.feed_imu(fr.imu)
-        if use_stereo and fr.img_right is not None:
-            pose = slam.track_stereo(fr.img, fr.img_right, fr.timestamp)
+        img, img_r = fr.img, fr.img_right
+        if equalize is not None:
+            img = equalize(img)
+            if img_r is not None:
+                img_r = equalize(img_r)
+        if rig is not None and img_r is not None:
+            img, img_r = rig.rectify(img, img_r)
+        if use_stereo and img_r is not None:
+            pose = slam.track_stereo(img, img_r, fr.timestamp)
         elif sensor in (RGBD, IMU_RGBD) and fr.depth is not None:
-            pose = slam.track_rgbd(fr.img, fr.depth, fr.timestamp)
+            pose = slam.track_rgbd(img, fr.depth, fr.timestamp)
         else:
-            pose = slam.track_monocular(fr.img, fr.timestamp)
+            pose = slam.track_monocular(img, fr.timestamp)
         if pose is not None:
             n_tracked += 1
     wall = time.perf_counter() - t0

@@ -361,6 +361,31 @@ class MapState:
         uniq, cnt = np.unique(obs, return_counts=True)
         return {int(u): int(c) for u, c in zip(uniq, cnt)}
 
+    def covisibility_edges(self, map_id: Optional[int] = None,
+                           min_weight: int = 100):
+        """ALL covisibility edges (lo, hi) with weight >= min_weight, in one
+        vectorized pass over the observation table (no per-KF Python dicts —
+        the essential graph's edge set for Optimizer.cc:4527/:5683 at any map
+        size). Returns (pairs (E,2) int64 with lo<hi, weights (E,))."""
+        pts = self.mp_ids(map_id)
+        if len(pts) == 0:
+            return np.empty((0, 2), np.int64), np.empty(0, np.int64)
+        obs = self.mp_obs_kf[pts]  # (M, D)
+        D = obs.shape[1]
+        iu, ju = np.triu_indices(D, 1)
+        a = obs[:, iu].reshape(-1).astype(np.int64)
+        b = obs[:, ju].reshape(-1).astype(np.int64)
+        ok = (a >= 0) & (b >= 0)
+        a, b = a[ok], b[ok]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        N = self.kf_R.shape[0]
+        key = lo * N + hi
+        uniq, cnt = np.unique(key, return_counts=True)
+        sel = cnt >= min_weight
+        uniq, cnt = uniq[sel], cnt[sel]
+        return np.stack([uniq // N, uniq % N], 1), cnt
+
     def covisible_kfs(self, kf: int, k: int = 10, min_weight: int = 15) -> list[int]:
         counts = self.covisibility(kf)
         # explicit tie-break: equal weight -> newer keyframe first (temporal

@@ -6,9 +6,9 @@ database (NewDetectCommonRegions :386), verify with Sim3 RANSAC + guided
 matching + Sim3 refinement (DetectCommonRegionsFromBoW :790), then either
 correct a loop inside the active map (CorrectLoop :1377 + essential-graph
 optimization) or merge two sub-maps (MergeLocal :1697). A global BA follows
-significant corrections (RunGlobalBundleAdjustment :3067) — here dispatched
-synchronously as a capped bundle_adjust call (the reference's abortable
-background thread maps to the host simply not dispatching further iterations).
+significant corrections (RunGlobalBundleAdjustment :3067), launched on its
+own transient thread racing the pipeline and aborted by the next verified
+loop/merge (mbStopGBA, :1383-1407) — partial LM progress still lands.
 """
 
 from __future__ import annotations
@@ -36,28 +36,38 @@ class LoopCloser:
         self._rng = np.random.default_rng(11)
         self.n_loops = 0
         self.n_merges = 0
-        self.required_hits = 2  # consecutive-KF confirmations before correcting
+        # 3 confirmations before correcting (LoopClosing.cc:455-523,495):
+        # spatial hits (covisible KFs re-verifying the Sim3 immediately) and
+        # temporal hits (consecutive incoming KFs) both count
+        self.required_hits = 3
         # pending hypothesis for temporal verification (LoopClosing.cc:455)
         self._pending: dict | None = None
+        # transient background GBA thread (RunGlobalBundleAdjustment,
+        # LoopClosing.cc:1669-1681 spawns; :1383-1407 kills on a new loop)
+        self._gba_thread = None
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int) -> bool:
         """Returns True if a loop/merge correction was applied. A hypothesis
-        must be re-confirmed on consecutive keyframes before the correction
-        is applied (temporal verification, LoopClosing.cc:455-523: 3 hits,
-        <=2 misses tolerated; here 2 hits — each hit already includes the
-        Sim3-refinement spatial check)."""
+        needs 3 confirmations before the correction is applied
+        (LoopClosing.cc:455-523: <=2 misses tolerated): the initial Sim3
+        verification, spatial re-verifications from the current keyframe's
+        covisible neighbors, and temporal re-verifications on consecutive
+        incoming keyframes all count."""
         m = self.map
         mid = int(m.kf_map_id[kf])
         # detection gates (NewDetectCommonRegions, LoopClosing.cc:413-436):
         # inertial maps wait for the VIBA2 refinement before place recognition
-        # (their geometry is still being rescaled); young maps are skipped
-        if (
-            self.cfg.is_inertial
-            and self.cfg.loop_requires_viba2
-            and not m.map_viba2.get(mid, False)
-        ):
-            return False
+        # (their geometry is still being rescaled); even with the gate relaxed
+        # (loop_requires_viba2=False) an inertial map must at least be
+        # IMU-INITIALIZED — welding a non-metric, non-gravity-aligned map
+        # would run the visual merge branch on inertial data; young maps are
+        # skipped
+        if self.cfg.is_inertial:
+            if self.cfg.loop_requires_viba2 and not m.map_viba2.get(mid, False):
+                return False
+            if not m.map_imu_init.get(mid, False):
+                return False
         if len(m.kf_ids(mid)) < self.cfg.loop_min_kfs:
             return False
         # a pending hypothesis is first re-verified geometrically against the
@@ -77,13 +87,19 @@ class LoopCloser:
                     self._pending = None
             return False
         cand, s12, R12, t12, n_matches = cand_info
-        region = set([cand] + m.covisible_kfs(cand, k=10, min_weight=1))
+        region = set([cand] + m.covisible_kfs(cand, k=10, min_weight=15))
         if self._pending is not None and (self._pending["region"] & region):
             self._pending["hits"] += 1
             self._pending["region"] |= region
             self._pending.update(sim3=(s12, R12, t12), kf=kf, cand=cand)
         else:
-            self._pending = {"region": region, "hits": 1, "misses": 0,
+            # spatial verification (DetectCommonRegionsFromBoW tail,
+            # LoopClosing.cc:1168-1250): covisible KFs of the CURRENT
+            # keyframe must re-verify the composed Sim3 by projection; each
+            # success is a confirmation, so a well-supported hypothesis can
+            # confirm without waiting 3 keyframe insertions
+            hits = 1 + self._spatial_verification(kf, cand, s12, R12, t12)
+            self._pending = {"region": region, "hits": hits, "misses": 0,
                              "sim3": (s12, R12, t12), "kf": kf, "cand": cand}
         if self._pending["hits"] < self.required_hits:
             return False
@@ -113,6 +129,11 @@ class LoopCloser:
                 rot = np.asarray(_lie.so3_log(_jnp.asarray(R12)))
                 if abs(rot[0]) > 0.008 or abs(rot[1]) > 0.008:
                     return False
+        # a new verified loop/merge supersedes any GBA still refining the
+        # PRE-correction geometry: abort it at the next LM-bite boundary and
+        # wait for its (partial) write-back before touching poses
+        # (LoopClosing.cc:1383-1407 mbStopGBA + thread join)
+        self.abort_gba()
         if same_map:
             self._correct_loop(kf, cand, s12, R12, t12)
             self.n_loops += 1
@@ -120,6 +141,28 @@ class LoopCloser:
             self._merge_maps(kf, cand, s12, R12, t12)
             self.n_merges += 1
         return True
+
+    # ----------------------------------------------------- background GBA
+    def abort_gba(self):
+        """Stop a running background GBA and wait for it to land (partial
+        progress is still written back; Optimizer.cc:1891 ForceStop)."""
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            self.mapper.request_abort_gba()
+            t.join()
+        self._gba_thread = None
+
+    def join_gba(self):
+        """Wait for a running background GBA WITHOUT aborting it."""
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join()
+        self._gba_thread = None
+
+    @property
+    def gba_running(self) -> bool:
+        t = self._gba_thread
+        return t is not None and t.is_alive()
 
     # ----------------------------------------------------------- detection
     def _detect(self, kf: int):
@@ -247,11 +290,35 @@ class LoopCloser:
             return None
         return float(s_np), R_np, t_np, int(n2)
 
+    def _spatial_verification(self, kf: int, cand: int, s12, R12, t12,
+                              max_checks: int = 4, th: int = 40) -> int:
+        """Re-verify the hypothesis from the current KF's best covisible
+        keyframes: compose the verified S12 with each neighbor's relative
+        pose and demand the candidate window still re-projects >= th points
+        (the reference's covisible-KF spatial verification,
+        LoopClosing.cc:1168-1250 / DetectCommonRegionsFromLastKF). Returns
+        the number of confirming neighbors."""
+        m = self.map
+        n_ok = 0
+        for ki in m.covisible_kfs(kf, k=max_checks, min_weight=15):
+            if not m.kf_valid[ki]:
+                continue
+            R_rel = (m.kf_R[ki].astype(np.float64)
+                     @ m.kf_R[kf].astype(np.float64).T)
+            t_rel = (m.kf_t[ki].astype(np.float64)
+                     - R_rel @ m.kf_t[kf].astype(np.float64))
+            s1, R1, t1 = _np_sim3_mul(1.0, R_rel, t_rel, s12,
+                                      np.asarray(R12, np.float64),
+                                      np.asarray(t12, np.float64))
+            if self._count_projection_matches(int(ki), cand, float(s1), R1, t1) >= th:
+                n_ok += 1
+        return n_ok
+
     def _count_projection_matches(self, kf: int, cand: int, s12, R12, t12) -> int:
         """Project the candidate window's map points through S12 into the
         current KF's camera and count window matches."""
         m = self.map
-        window = [cand] + m.covisible_kfs(cand, k=10, min_weight=1)
+        window = [cand] + m.covisible_kfs(cand, k=10, min_weight=15)
         pts = m.local_point_ids(window, cap=self.cfg.local_points_cap)
         if len(pts) == 0:
             return 0
@@ -304,7 +371,7 @@ class LoopCloser:
         si, Ri, ti = _np_sim3_inv(s_corr, R_corr, t_corr)
         sw, Rw, tw = _np_sim3_mul(si, Ri, ti, 1.0, R_old, t_old)
 
-        window = [kf] + m.covisible_kfs(kf, k=30, min_weight=1)
+        window = [kf] + m.covisible_kfs(kf, k=30, min_weight=15)
         pts = m.local_point_ids(window, cap=10**9)
 
         # snapshot ALL keyframe poses + strong-covisibility links BEFORE the
@@ -315,11 +382,8 @@ class LoopCloser:
         with m.lock:  # atomic window correction vs tracker reads
             pre_R = m.kf_R.copy()
             pre_t = m.kf_t.copy()
-            all_kfs = m.kf_ids()
-            pre_covis = {
-                int(k): {c for c, w in m.covisibility(int(k)).items() if w >= 100}
-                for k in all_kfs
-            }
+            pre_pairs, _ = m.covisibility_edges(min_weight=100)
+            pre_keys = pre_pairs[:, 0] * m.kf_R.shape[0] + pre_pairs[:, 1]
 
             # transform window KFs: S_i' = S_i ∘ dSw^-1 ; points: p' = dSw(p)
             swi, Rwi, twi = _np_sim3_inv(sw, Rw, tw)
@@ -340,22 +404,23 @@ class LoopCloser:
             m.mp_pos[pts] = (sw * (m.mp_pos[pts].astype(np.float64) @ Rw.T) + tw).astype(np.float32)
 
         # fuse: project loop-side points into the corrected window KFs
-        loop_window = [cand] + m.covisible_kfs(cand, k=20, min_weight=1)
+        loop_window = [cand] + m.covisible_kfs(cand, k=20, min_weight=15)
         loop_pts = m.local_point_ids(loop_window, cap=self.cfg.local_points_cap)
         self._fuse_points_into(window, loop_pts)
 
         # essential-graph optimization over the whole active map
-        self._optimize_essential_graph(kf, cand, pre_R, pre_t, pre_covis)
+        self._optimize_essential_graph(kf, cand, pre_R, pre_t, pre_keys)
         # full-map BA with abort + new-KF propagation (RunGlobalBundle-
-        # Adjustment, LoopClosing.cc:3067). Reference gate (:1669): GBA after
-        # a loop only when the map is NOT IMU-initialized, or is small and
-        # the atlas has one map — a VISUAL-only full BA on an inertial map
-        # ignores the gravity/velocity/bias constraints and warps the map the
-        # VI tracker then fights (the 4 m ATE failure on the MH01 replay).
-        # (The reference's inertial small-map GBA is FullInertialBA; the
-        # windowed welding VI-BA already covered the loop region here.)
+        # Adjustment, LoopClosing.cc:3067), on its own background thread.
+        # Reference gate (:1669): inertial maps get the WHOLE-MAP
+        # FullInertialBA (7 iters) when the map is < 200 KFs — a visual-only
+        # full BA on an inertial map ignores gravity/velocity/bias and warps
+        # the map the VI tracker then fights; visual maps get the visual GBA.
         mid = int(m.kf_map_id[kf])
-        if not (self.cfg.is_inertial and m.map_imu_init.get(mid, False)):
+        if self.cfg.is_inertial and m.map_imu_init.get(mid, False):
+            if len(m.kf_ids(mid)) < 200:
+                self._launch_gba(self.mapper.full_inertial_ba, iters=7)
+        else:
             self._global_ba(iters=10)
         m.version += 1
 
@@ -426,9 +491,21 @@ class LoopCloser:
                 m.map_viba1[target] = True
                 m.map_viba2[target] = True
 
+        # snapshot post-weld-transform / pre-weld-BA poses + covis links: the
+        # merge-variant essential graph measures the absorbed map's internal
+        # edges from here so the weld-BA refinement of the window gets
+        # distributed through the rest of the absorbed map
+        # (NonCorrectedSim3 of Optimizer.cc:5683)
+        absorbed = [int(k) for k in kfs]
+        with m.lock:
+            pre_R = m.kf_R.copy()
+            pre_t = m.kf_t.copy()
+            pre_pairs, _ = m.covisibility_edges(min_weight=100)
+            pre_keys = pre_pairs[:, 0] * m.kf_R.shape[0] + pre_pairs[:, 1]
+
         # weld: fuse current window with candidate window
-        window = [kf] + m.covisible_kfs(kf, k=15, min_weight=1)
-        loop_window = [cand] + m.covisible_kfs(cand, k=15, min_weight=1)
+        window = [kf] + m.covisible_kfs(kf, k=15, min_weight=15)
+        loop_window = [cand] + m.covisible_kfs(cand, k=15, min_weight=15)
         loop_pts = m.local_point_ids(loop_window, cap=self.cfg.local_points_cap)
         self._fuse_points_into(window, loop_pts)
         # welding BA over the union window
@@ -436,6 +513,17 @@ class LoopCloser:
             self.mapper.merge_inertial_ba(kf, cand)
         else:
             self.mapper.local_ba(kf)
+        # merge-variant essential graph (Optimizer.cc:5683, called from
+        # MergeLocal LoopClosing.cc:2274): the target map's keyframes and the
+        # weld window stay fixed; the REST of the absorbed map is pulled
+        # through the pose graph so drift accumulated far from the weld is
+        # distributed instead of frozen in
+        absorbed_set = set(absorbed)
+        fixed_ids = {int(k) for k in m.kf_ids(target)} - absorbed_set
+        fixed_ids |= {int(w) for w in window}
+        self._optimize_essential_graph(
+            kf, cand, pre_R, pre_t, pre_keys, fixed_ids=fixed_ids
+        )
         m.version += 1
 
     def _fuse_points_into(self, kf_window, point_ids):
@@ -479,9 +567,11 @@ class LoopCloser:
                     m.add_observation(mp, int(nb), int(fidx[j]))
 
     def _optimize_essential_graph(self, kf: int, cand: int,
-                                  pre_R=None, pre_t=None, pre_covis=None):
+                                  pre_R=None, pre_t=None, pre_keys=None,
+                                  fixed_ids=None):
         """Essential graph: spanning tree + strong covisibility (weight>=100)
-        + new loop-connection edges + the loop edge (Optimizer.cc:4527).
+        + new loop-connection edges + the loop edge (Optimizer.cc:4527 loop
+        variant; :5683 merge variant via fixed_ids).
 
         Edge measurements follow the reference's vScw/NonCorrectedSim3 split:
         spanning-tree and PRE-EXISTING covisibility edges are measured from
@@ -490,63 +580,84 @@ class LoopCloser:
         covisibility links created by loop fusion and the loop edge itself
         are measured from the current (window-corrected) poses — they encode
         the correction constraint. Vertex initial values are the current
-        poses; the loop-side KF is the gauge anchor."""
+        poses; gauge anchors = fixed_ids (default: the loop-side KF).
+
+        Edge building is one vectorized pass (covisibility_edges over the
+        observation table + batched relative-pose composition); the solve
+        dispatches to dense Cholesky or matrix-free block-Jacobi CG by size
+        (posegraph.solve_pose_graph)."""
         m = self.map
         kfs = m.kf_ids()
         if len(kfs) < 4:
             return
         if pre_R is None:
             pre_R, pre_t = m.kf_R, m.kf_t
-        if pre_covis is None:
-            pre_covis = {}
-        slot = {int(k): i for i, k in enumerate(kfs)}
+        if pre_keys is None:
+            pre_keys = np.empty(0, np.int64)
+        if fixed_ids is None:
+            fixed_ids = {int(cand)}
+        N = m.kf_R.shape[0]
         K = len(kfs)
-        ei, ej, es, eR, et, ew = [], [], [], [], [], []
+        slot_arr = np.full(N, -1, np.int64)
+        slot_arr[np.asarray(kfs)] = np.arange(K)
 
-        def add_edge(a, b, weight, R_src, t_src):
-            s_rel, R_rel, t_rel = _np_sim3_mul(
-                1.0, R_src[a].astype(np.float64), t_src[a].astype(np.float64),
-                *_np_sim3_inv(1.0, R_src[b].astype(np.float64), t_src[b].astype(np.float64)),
-            )
-            ei.append(slot[a]); ej.append(slot[b])
-            es.append(s_rel); eR.append(R_rel); et.append(t_rel); ew.append(weight)
+        # --- spanning-tree edges (always pre-correction measurements)
+        kfs_np = np.asarray(kfs, np.int64)
+        par = m.kf_parent[kfs_np].astype(np.int64)
+        tree_ok = (par >= 0) & (slot_arr[np.maximum(par, 0)] >= 0)
+        ta_, tb_ = kfs_np[tree_ok], par[tree_ok]
+        tree_keys = np.minimum(ta_, tb_) * N + np.maximum(ta_, tb_)
 
-        seen = set()
-        for k in kfs:
-            k = int(k)
-            p = int(m.kf_parent[k])
-            if p >= 0 and p in slot and (k, p) not in seen:
-                add_edge(k, p, 1.0, pre_R, pre_t)
-                seen.add((k, p))
-            old_links = pre_covis.get(k, None)
-            for c, w in m.covisibility(k).items():
-                if w < 100 or c not in slot:
-                    continue
-                if (k, c) in seen or (c, k) in seen:
-                    continue
-                seen.add((k, c))
-                if old_links is not None and c not in old_links:
-                    # loop connection born from fusion: corrected measurement
-                    add_edge(k, c, 1.0, m.kf_R, m.kf_t)
-                else:
-                    add_edge(k, c, 1.0, pre_R, pre_t)
-        # loop edge (corrected poses => relative encodes the Sim3 constraint)
-        add_edge(int(kf), int(cand), 10.0, m.kf_R, m.kf_t)
+        # --- strong covisibility edges (one pass over the obs table)
+        pairs, _w = m.covisibility_edges(min_weight=100)
+        if len(pairs):
+            ok = (slot_arr[pairs[:, 0]] >= 0) & (slot_arr[pairs[:, 1]] >= 0)
+            pairs = pairs[ok]
+            ckeys = pairs[:, 0] * N + pairs[:, 1]
+            keep = ~np.isin(ckeys, tree_keys)  # dedup vs spanning tree
+            pairs, ckeys = pairs[keep], ckeys[keep]
+            # links born from loop fusion carry corrected measurements
+            born_new = ~np.isin(ckeys, pre_keys)
+        else:
+            ckeys = np.empty(0, np.int64)
+            born_new = np.empty(0, bool)
 
-        E = len(ei)
+        ea = np.concatenate([ta_, pairs[:, 0] if len(pairs) else np.empty(0, np.int64),
+                             np.asarray([int(kf)], np.int64)])
+        eb = np.concatenate([tb_, pairs[:, 1] if len(pairs) else np.empty(0, np.int64),
+                             np.asarray([int(cand)], np.int64)])
+        use_corr = np.concatenate([
+            np.zeros(len(ta_), bool), born_new, np.ones(1, bool),
+        ])
+        ew = np.concatenate([
+            np.ones(len(ta_), np.float32),
+            np.ones(len(pairs) if len(pairs) else 0, np.float32),
+            np.asarray([10.0], np.float32),  # the loop/merge edge
+        ])
+
+        # batched relative measurement S_ab = S_a * S_b^-1 (unit source scale)
+        Ra = np.where(use_corr[:, None, None], m.kf_R[ea], pre_R[ea]).astype(np.float64)
+        tb = np.where(use_corr[:, None], m.kf_t[eb], pre_t[eb]).astype(np.float64)
+        Rb = np.where(use_corr[:, None, None], m.kf_R[eb], pre_R[eb]).astype(np.float64)
+        ta = np.where(use_corr[:, None], m.kf_t[ea], pre_t[ea]).astype(np.float64)
+        R_rel = np.einsum("kij,klj->kil", Ra, Rb)
+        t_rel = ta - np.einsum("kij,kj->ki", R_rel, tb)
+
+        E = len(ea)
         prob = posegraph.PoseGraphProblem(
             s=jnp.ones(K, jnp.float32),
             R=jnp.asarray(m.kf_R[kfs]),
             t=jnp.asarray(m.kf_t[kfs]),
-            fixed=jnp.asarray([int(k) == int(cand) for k in kfs]),
-            e_i=jnp.asarray(ei, jnp.int32), e_j=jnp.asarray(ej, jnp.int32),
-            e_s=jnp.asarray(np.asarray(es, np.float32)),
-            e_R=jnp.asarray(np.stack(eR).astype(np.float32)),
-            e_t=jnp.asarray(np.stack(et).astype(np.float32)),
+            fixed=jnp.asarray([int(k) in fixed_ids for k in kfs]),
+            e_i=jnp.asarray(slot_arr[ea], jnp.int32),
+            e_j=jnp.asarray(slot_arr[eb], jnp.int32),
+            e_s=jnp.ones(E, jnp.float32),
+            e_R=jnp.asarray(R_rel.astype(np.float32)),
+            e_t=jnp.asarray(t_rel.astype(np.float32)),
             e_valid=jnp.ones(E, bool),
             e_weight=jnp.asarray(ew, jnp.float32),
         )
-        s, R, t, _ = posegraph.optimize_pose_graph(
+        s, R, t, _ = posegraph.solve_pose_graph(
             prob, iters=15, dof4=self.cfg.is_inertial and m.map_viba2.get(m.active_map, False)
         )
         s, R, t = np.asarray(s), np.asarray(R), np.asarray(t)
@@ -587,9 +698,26 @@ class LoopCloser:
             m.update_point_geometry(pts)
 
     def _global_ba(self, iters: int = 10):
-        """GlobalBundleAdjustemnt (Optimizer.cc:2831) over the active map,
-        capped to the BA problem capacity."""
-        self.mapper.global_ba(iters=iters)
+        self._launch_gba(self.mapper.global_ba, iters=iters)
+
+    def _launch_gba(self, fn, **kw):
+        """Launch a full-map BA (visual or inertial) on its own transient
+        thread, racing the tracking/mapping pipeline exactly like the
+        reference's GBA thread (LoopClosing.cc:1669-1681 `new
+        thread(RunGlobalBundleAdjustment)`). The BA snapshots its problem
+        under the map lock, optimizes in abortable LM bites, and writes back
+        atomically (run_full_map_ba additionally propagates the correction
+        through the spanning tree to keyframes/points created meanwhile)."""
+        import threading
+
+        if not self.cfg.async_mapping:
+            # single-threaded mode (tests, deterministic replays): inline
+            fn(**kw)
+            return
+        self.join_gba()  # at most one GBA at a time (reference semantics)
+        t = threading.Thread(target=fn, kwargs=kw, daemon=True)
+        self._gba_thread = t
+        t.start()
 
 
 def _pad(a: np.ndarray, n: int) -> np.ndarray:

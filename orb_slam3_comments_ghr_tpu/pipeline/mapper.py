@@ -453,7 +453,34 @@ class LocalMapper:
         pts = m.local_point_ids(opt_kfs, cfg.local_ba_points)
         self._run_ba(opt_kfs, pts, cfg.local_ba_iters)
 
-    def _run_vi_ba(self, chain, pts, iters: int, seam=()):
+    def full_inertial_ba(self, iters: int = 7, max_kfs: int = 256,
+                         point_cap: int | None = None):
+        """WHOLE-MAP FullInertialBA (Optimizer.cc:3254): every keyframe of the
+        active map's temporal chain + its landmarks, first KF's pose fixed
+        (velocities/biases everywhere free). The reference runs this with
+        100 iters at IMU init and 7 iters as the inertial GBA after loops
+        (maps < 200 KFs, LoopClosing.cc:1669-1681). Runs in abortable 2-3
+        iteration bites — each bite re-snapshots under the map lock and
+        writes back, so it can race the front end like the visual GBA and
+        stop at a bite boundary on request_abort_gba."""
+        m = self.map
+        self.abort_gba = False
+        newest = m.kf_ids()
+        if len(newest) < 4:
+            return
+        chain = self._temporal_chain(int(newest[-1]), cap=max_kfs)
+        if len(chain) < 4:
+            return
+        cap = point_cap or 4 * self.cfg.local_ba_points
+        done = 0
+        while done < iters and not self.abort_gba:
+            bite = min(3, iters - done)
+            pts = m.local_point_ids(chain, cap)
+            self._run_vi_ba(chain, pts, iters=bite, point_cap=cap)
+            done += bite
+
+    def _run_vi_ba(self, chain, pts, iters: int, seam=(),
+                   point_cap: int | None = None):
         """Build + solve a visual-inertial BA over the temporal chain; first
         KF's pose fixed. Links without a preintegration — and links listed in
         `seam` (cross-map welds, where the stored preintegration belongs to a
@@ -485,7 +512,7 @@ class LocalMapper:
         tcb = -Rcb @ tbc
         Rwb = np.zeros((K, 3, 3), np.float32)
         pwb = np.zeros((K, 3), np.float32)
-        P = _pad_pow2(len(pts), 256, self.cfg.local_ba_points)
+        P = _pad_pow2(len(pts), 256, point_cap or self.cfg.local_ba_points)
         D = m.cfg.obs_cap
         slot = {c: i for i, c in enumerate(chain)}
         p_arr = np.zeros((P, 3), np.float32)

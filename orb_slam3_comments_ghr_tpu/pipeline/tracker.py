@@ -96,6 +96,7 @@ class Tracker:
         # wired by the system when async mapping is on
         self.queue_probe = None
         self.last_reloc_frame = -(10 ** 9)  # mnLastRelocFrameId
+        self._prepared_th = 1.0  # search-window multiplier of the prepared frame
 
     # ---------------------------------------------------------------- public
     def prepare_frame(self, timestamp: float, steps: int = 1):
@@ -115,7 +116,22 @@ class Tracker:
         self._last_prediction = (R0.copy(), t0.copy())
         lp, ids = self._local_points_view()
         self._prepared = (lp, ids, R0, t0)
+        self._prepared_th = self._search_th()
         return True, lp, ids, jnp.asarray(R0), jnp.asarray(t0)
+
+    def _search_th(self) -> float:
+        """Projection search-window multiplier for the fused track. With no
+        motion model yet (first frame after init / reloc) the prediction is a
+        whole frame of motion stale — the reference handles this frame with
+        the windowless BoW TrackReferenceKeyFrame (Tracking.cc:2205-2212);
+        our single fused pass instead widens the window to absorb it."""
+        if self.state != OK:
+            return 6.0
+        if self._imu_ready():
+            return 4.0
+        if self.velocity is None:
+            return 6.0
+        return 1.0
 
     def capture_frame_context(self):
         """Snapshot the per-frame prologue/preparation state so a deep
@@ -540,13 +556,9 @@ class Tracker:
             # retry at 2*th; SearchLocalPoints th=15 when recently lost with
             # IMU). Our single fused pass must absorb the full prediction
             # error, so widen with IMU (prediction error grows with bias /
-            # velocity error) and when not OK.
-            if self.state != OK:
-                th = 6.0
-            elif self._imu_ready():
-                th = 4.0
-            else:
-                th = 1.0
+            # velocity error), when not OK, and when no motion model exists
+            # yet (see _search_th).
+            th = self._search_th()
             res = programs.track_against_points(
                 self.cam, feats, lp, jnp.asarray(R0), jnp.asarray(t0),
                 th=th,
@@ -606,18 +618,27 @@ class Tracker:
         n_ct = n_cu = 0
         if not cfg.is_mono:
             n_ct, n_cu = self._close_point_counts(feats, res, ids)
-        # KF decision runs whenever the frame tracked AT ALL (reference calls
-        # NeedNewKeyFrame on bOK, Tracking.cc:2648): the inertial c4 rule
-        # exists precisely to insert keyframes during WEAK (15<inl<75)
-        # stretches so the map grows back under the camera — gating creation
-        # on a strong track starves the map exactly when it must extend.
+        ok_state = n_inl >= (
+            cfg.min_local_inliers if self.state == OK else cfg.min_track_matches
+        )
+        # KF decision: visual modes insert only from frames that pass the OK
+        # gate (reference: `bNeedKF && bOK`, Tracking.cc:2644-2658) — a weak
+        # 20-inlier pose must never seed a keyframe, it anchors the map to a
+        # biased estimate. Inertial modes additionally insert while
+        # RECENTLY_LOST (mInsertKFsLost, same lines + the c4 rule): weak
+        # stretches are exactly when the map must grow back under the camera.
+        insert_ok = ok_state or (
+            cfg.is_inertial
+            and self.state == RECENTLY_LOST
+            and n_inl >= cfg.min_track_matches
+        )
         if (
             not self.localization_only
-            and n_inl >= cfg.min_track_matches
+            and insert_ok
             and self._need_new_kf(n_inl, timestamp, n_ct, n_cu)
         ):
             self._create_new_kf(feats, timestamp, res, ids)
-        return n_inl >= (cfg.min_local_inliers if self.state == OK else cfg.min_track_matches)
+        return ok_state
 
     def _vi_refine(self, feats, res, ids, timestamp):
         """Visual-inertial pose refinement for the current frame
@@ -706,7 +727,7 @@ class Tracker:
             return False
         desc = np.asarray(feats.desc)
         valid = np.asarray(feats.valid)
-        word, node = self.kfdb.voc.transform(desc, valid)
+        word, node = self.kfdb.voc.transform_on_device(desc, valid)
         has_mp = m.kf_feat_mp[kf] >= 0
         mask = (
             (node[:, None] == kf_node[None, :])
@@ -849,7 +870,7 @@ class Tracker:
         m = self.map
         desc = np.asarray(feats.desc)
         valid = np.asarray(feats.valid)
-        word, node = self.kfdb.voc.transform(desc, valid)
+        word, node = self.kfdb.voc.transform_on_device(desc, valid)
         qbow = self.kfdb.voc.bow_vector(word)
         cands = self.kfdb.detect_relocalization_candidates(qbow, m)
         for kf in cands:

@@ -37,7 +37,9 @@ class KeyFrameDatabase:
 
     def add(self, kf: int, descs: np.ndarray, valid: np.ndarray):
         self._ensure_capacity(kf)
-        word, node = self.voc.transform(descs, valid)
+        # jitted on-device tree descent (TemplatedVocabulary::transform,
+        # :136-163, as one XLA program — SURVEY §2.2)
+        word, node = self.voc.transform_on_device(descs, valid)
         v = self.voc.bow_vector(word)
         self.bow[kf] = v
         self.word_mask[kf] = v > 0

@@ -75,6 +75,7 @@ class Vocabulary:
         self.idf = (np.ones(self.n_words, np.float32)
                     if idf is None else idf.astype(np.float32))
         self._device_tables = None
+        self._transform_jit = None
 
     # ------------------------------------------------------------- training
     @staticmethod
@@ -181,6 +182,21 @@ class Vocabulary:
         word = jnp.where(valid, node, -1)
         mid = jnp.where(valid, mid, -1)
         return word, mid
+
+    def transform_on_device(self, descs, valid):
+        """PRODUCTION descent: one jitted device program (tree tables are
+        compile-time constants riding HBM), one host fetch. Used by
+        KeyFrameDatabase.add, relocalization and the track-reference-KF
+        fallback — no host-NumPy descent on any pipeline path; the host
+        `transform` remains for offline tooling (training, tests)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._transform_jit is None:
+            self._transform_jit = jax.jit(self.transform_device)
+        w, m = self._transform_jit(jnp.asarray(descs), jnp.asarray(valid))
+        w, m = jax.device_get((w, m))
+        return np.asarray(w).astype(np.int64), np.asarray(m).astype(np.int64)
 
     def bow_vector(self, word_id: np.ndarray) -> np.ndarray:
         """L1-normalized dense tf-idf vector (n_words,) float32 (DBoW2

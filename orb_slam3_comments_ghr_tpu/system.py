@@ -70,8 +70,13 @@ class SLAM:
         if self.cfg.async_mapping:
             import queue as _q
             import threading
-            self._map_queue = _q.Queue(maxsize=3)  # backpressure (P5)
-            # KeyframesInQueue probe for NeedNewKeyFrame (Tracking.cc:3904)
+            # unbounded, like the reference's mlNewKeyFrames list: tracking
+            # must NEVER block on mapping (LocalMapping.cc:378). Backpressure
+            # is the KeyframesInQueue probe inside NeedNewKeyFrame
+            # (Tracking.cc:3904) — when the mapper falls behind (e.g. while a
+            # background GBA holds the device), new keyframes simply are not
+            # created, the reference's SetAcceptKeyFrames semantics (P5).
+            self._map_queue = _q.Queue()
             self.tracker.queue_probe = self._map_queue.qsize
             self._map_worker = threading.Thread(
                 target=self._mapping_worker, daemon=True
@@ -119,6 +124,7 @@ class SLAM:
             n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
             scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
             min_th=self.cfg.min_th_fast,
+            th=self.tracker._prepared_th if ready else 1.0,
             undistort=self.cam.kind != cameras.PINHOLE,
             use_pallas=self.use_pallas,
         )
@@ -193,7 +199,7 @@ class SLAM:
                 t0 = jnp.where(good, tc, t0)
             res = programs.track_only(
                 self.geom_cam, feats, lp, R0, t0,
-                th=2.0 if steps > 1 else 1.0,
+                th=max(self.tracker._prepared_th, 2.0 if steps > 1 else 1.0),
                 n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
                 use_pallas=self.use_pallas,
             )
@@ -251,6 +257,7 @@ class SLAM:
             n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
             scale=self.cfg.scale_factor, ini_th=self.cfg.ini_th_fast,
             min_th=self.cfg.min_th_fast,
+            th=self.tracker._prepared_th if ready else 1.0,
             undistort=self.cam.kind != cameras.PINHOLE,
             use_pallas=self.use_pallas,
         )
@@ -334,7 +341,7 @@ class SLAM:
         kf = self.tracker.pending_kf
         if kf is not None and self.n_keyframes() >= 2:
             if self._map_queue is not None:
-                self._map_queue.put(kf)  # blocks when 3 KFs queued (P5)
+                self._map_queue.put(kf)  # unbounded — never blocks tracking
                 return pose
             self.mapper.process_keyframe(kf)
             if self.mapper.map_transformed:
@@ -392,9 +399,11 @@ class SLAM:
         GLOBAL_TIMER.print_time_stats()
 
     def wait_idle(self):
-        """Drain the async mapping queue (Shutdown's spin-wait analog)."""
+        """Drain the async mapping queue and any background GBA
+        (Shutdown's spin-wait analog)."""
         if self._map_queue is not None:
             self._map_queue.join()
+        self.loopcloser.join_gba()
 
     # --------------------------------------------------------------- queries
     @property

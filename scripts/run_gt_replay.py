@@ -45,10 +45,12 @@ def main(argv=None):
 
     import jax
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from orb_slam3_comments_ghr_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache(
+        jax,
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        min_compile_secs=1.0,
+    )
     import jax.numpy as jnp
 
     from orb_slam3_comments_ghr_tpu.ops import cameras

@@ -1,0 +1,112 @@
+"""Whole-map FullInertialBA (Optimizer.cc:3254): every keyframe of the
+active map's temporal chain + landmarks, abortable bites, used as the
+inertial GBA after loops (LoopClosing.cc:1669-1681, maps < 200 KFs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_comments_ghr_tpu.ops import cameras
+from orb_slam3_comments_ghr_tpu.system import SLAM
+from orb_slam3_comments_ghr_tpu.utils import synthetic, evaluation
+from orb_slam3_comments_ghr_tpu.utils.config import SlamConfig, IMU_MONOCULAR
+from orb_slam3_comments_ghr_tpu.optim import imu as imu_mod
+
+CAM = cameras.euroc_cam0()
+
+
+@pytest.fixture(scope="module")
+def vi_map():
+    """A VI run long enough that the temporal chain exceeds the <=10-KF
+    local window — full_inertial_ba must cover ALL of it."""
+    world = synthetic.make_world(77, n_points=3000)
+    n_frames = 160
+    poses, imu_rows, times = synthetic.vi_sequence(n_frames)
+    cfg = SlamConfig(
+        sensor=IMU_MONOCULAR, n_features=512, local_points_cap=2048,
+        local_ba_points=2048, max_frames_between_kf=4, min_init_matches=60,
+        enable_loop_closing=False,
+    )
+    calib = imu_mod.ImuCalib(
+        Rbc=jnp.eye(3), tbc=jnp.zeros(3),
+        noise_g=1e-4, noise_a=1e-3, walk_g=1e-6, walk_a=1e-5,
+    )
+    slam = SLAM(CAM, cfg, imu_calib=calib)
+    for i, (R, t) in enumerate(poses):
+        chunk = imu_rows[
+            (imu_rows[:, 0] > (times[i - 1] if i else -1))
+            & (imu_rows[:, 0] <= times[i])
+        ]
+        if len(chunk):
+            slam.feed_imu(chunk)
+        feats, _ = synthetic.render_features(
+            world, CAM, R, t, n_feat=512, seed=7700 + i)
+        slam.track_features(feats, times[i])
+    gt = [(times[i],
+           np.vstack([np.hstack([poses[i][0], poses[i][1][:, None]]),
+                      [0, 0, 0, 1]]).astype(np.float32))
+          for i in range(n_frames)]
+    return slam, gt
+
+
+def _kf_ate(slam, gt):
+    m = slam.map
+    gtd = {round(t, 6): T for t, T in gt}
+    est = []
+    for kf in m.kf_ids():
+        t = round(float(m.kf_time[kf]), 6)
+        if t not in gtd:
+            continue
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = m.kf_R[kf]
+        T[:3, 3] = m.kf_t[kf]
+        est.append((t, T))
+    return evaluation.ate_rmse(est, gt, with_scale=False), len(est)
+
+
+class TestFullInertialBA:
+    def test_covers_whole_chain_and_keeps_accuracy(self, vi_map):
+        slam, gt = vi_map
+        m = slam.map
+        assert m.map_imu_init.get(m.active_map, False)
+        n_kf = len(m.kf_ids())
+        assert n_kf > 12  # well beyond the <=10-KF local window
+        ate0, n0 = _kf_ate(slam, gt)
+
+        v0 = m.version
+        poses_before = m.kf_R[m.kf_ids()].copy()
+        slam.mapper.full_inertial_ba(iters=6)
+        assert m.version > v0
+        # whole chain touched: even the OLDEST non-fixed keyframes moved
+        kfs = m.kf_ids()
+        moved = np.array([
+            np.abs(m.kf_R[k] - poses_before[i]).max()
+            for i, k in enumerate(kfs)
+        ])
+        assert (moved[1:8] > 0).any(), "early-chain keyframes untouched"
+        ate1, n1 = _kf_ate(slam, gt)
+        assert ate1 < max(ate0 * 1.2, 0.3), (ate0, ate1)
+
+    def test_abort_stops_at_bite_boundary(self, vi_map):
+        slam, gt = vi_map
+        slam.mapper.request_abort_gba()
+        # abort is consumed at start, so a fresh call runs; request again
+        # mid-flight is covered by the GBA-thread test — here just verify the
+        # bite loop honors a pre-set flag after the first bite
+        import orb_slam3_comments_ghr_tpu.pipeline.mapper as mapper_mod
+
+        calls = []
+        orig = slam.mapper._run_vi_ba
+
+        def spy(chain, pts, iters, seam=(), point_cap=None):
+            calls.append(iters)
+            slam.mapper.abort_gba = True  # as request_abort_gba would
+            return orig(chain, pts, iters=iters, seam=seam,
+                        point_cap=point_cap)
+
+        slam.mapper._run_vi_ba = spy
+        try:
+            slam.mapper.full_inertial_ba(iters=9)
+        finally:
+            slam.mapper._run_vi_ba = orig
+        assert len(calls) == 1, calls  # stopped after the first bite

@@ -99,7 +99,7 @@ class TestDriftDistribution:
         ref_mid = int(m.mp_first_kf[p_mid])
         p_cam_before = m.kf_R[ref_mid] @ m.mp_pos[p_mid] + m.kf_t[ref_mid]
 
-        lc._optimize_essential_graph(last, first, pre_R, pre_t, pre_covis={})
+        lc._optimize_essential_graph(last, first, pre_R, pre_t, pre_keys=None)
 
         # 1) keyframes far from the loop edge MOVED (drift distributed)
         moved_mid = np.linalg.norm(
@@ -156,7 +156,7 @@ class TestDriftDistributionInertial4DoF:
                            - cam_center(gt_R[k], gt_t[k]))
             for k in range(n)
         ]
-        lc._optimize_essential_graph(last, first, pre_R, pre_t, pre_covis={})
+        lc._optimize_essential_graph(last, first, pre_R, pre_t, pre_keys=None)
         errs_after = [
             np.linalg.norm(cam_center(m.kf_R[ids[k]], m.kf_t[ids[k]])
                            - cam_center(gt_R[k], gt_t[k]))
