@@ -177,7 +177,7 @@ class LoopCloser:
         # it as one injects near-identity "corrections" whose errors
         # accumulate. Only keyframes sharing nothing are loop candidates.
         exclude = set([kf]) | set(m.covisibility(kf).keys())
-        qbow = self.kfdb.bow[kf]
+        qbow = self.kfdb.query_vector(kf)
         cands = self.kfdb.detect_candidates(qbow, exclude, m, n_best=3)
         for cand in cands:
             if not m.kf_valid[cand]:

@@ -2,25 +2,37 @@
 
 Replaces KeyFrameDatabase (reference: src/KeyFrameDatabase.cc — inverted file
 mvInvertedFile[wordId], DetectNBestCandidates :669, DetectRelocalization-
-Candidates :920). With dense ~1k-word BoW vectors the inverted file is
-unnecessary: common-word counts and L1 scores are one masked matmul over the
-(n_kf, n_words) matrix — the covisibility-group accumulation logic is kept
-verbatim.
+Candidates :920). Storage is SPARSE — per-keyframe (word-id, tf-idf weight)
+arrays plus a word→keyframe inverted file — so the same code scales from the
+1k-word test vocabularies to the 100k-word production tree (a dense
+(n_kf, n_words) matrix at 100k words would cost ~400 KB/KF and make every
+common-word pass O(n_kf·n_words)). The vocabulary descent itself runs as one
+jitted device program (`Vocabulary.transform_on_device`); queries take the
+dense (n_words,) vector the tracker/loop-closer already hold and touch only
+the inverted-file lists, exactly like the reference.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .vocabulary import Vocabulary, score_l1
+from .vocabulary import Vocabulary
 
 
 class KeyFrameDatabase:
     def __init__(self, voc: Vocabulary, max_kf: int):
         self.voc = voc
-        self.bow = np.zeros((max_kf, voc.n_words), np.float32)
-        self.word_mask = np.zeros((max_kf, voc.n_words), bool)
+        self.n_words = voc.n_words
         self.present = np.zeros(max_kf, bool)
+        # sparse BoW per keyframe: sorted unique word ids + L1-normalized
+        # tf-idf weights (what a BowVector is, DBoW2/BowVector.h)
+        self.kf_words: dict[int, np.ndarray] = {}
+        self.kf_weights: dict[int, np.ndarray] = {}
+        # inverted file: word id -> list of keyframes containing it
+        # (mvInvertedFile, KeyFrameDatabase.h:87). Lists are append-only;
+        # erased KFs are masked out by `present` at query time and purged
+        # lazily on the next add() of the same KF id.
+        self.inv: dict[int, list[int]] = {}
         # per-feature word/node ids for BoW-guided matching
         self.kf_word: dict[int, np.ndarray] = {}
         self.kf_node: dict[int, np.ndarray] = {}
@@ -31,18 +43,33 @@ class KeyFrameDatabase:
             return
         while n <= kf:
             n *= 2
-        self.bow = np.concatenate([self.bow, np.zeros((n - len(self.bow), self.bow.shape[1]), np.float32)])
-        self.word_mask = np.concatenate([self.word_mask, np.zeros((n - len(self.word_mask), self.word_mask.shape[1]), bool)])
-        self.present = np.concatenate([self.present, np.zeros(n - len(self.present), bool)])
+        self.present = np.concatenate(
+            [self.present, np.zeros(n - len(self.present), bool)]
+        )
 
     def add(self, kf: int, descs: np.ndarray, valid: np.ndarray):
         self._ensure_capacity(kf)
+        if kf in self.kf_words:  # re-add after erase: purge stale postings
+            for w in self.kf_words[kf]:
+                lst = self.inv.get(int(w))
+                if lst is not None and kf in lst:
+                    lst.remove(kf)
         # jitted on-device tree descent (TemplatedVocabulary::transform,
         # :136-163, as one XLA program — SURVEY §2.2)
         word, node = self.voc.transform_on_device(descs, valid)
-        v = self.voc.bow_vector(word)
-        self.bow[kf] = v
-        self.word_mask[kf] = v > 0
+        w = word[word >= 0]
+        uw, counts = (np.unique(w, return_counts=True) if len(w)
+                      else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+        wt = counts.astype(np.float32) * self.voc.idf[uw]
+        s = wt.sum()
+        if s > 0:
+            wt /= s
+        keep = wt > 0
+        uw, wt = uw[keep], wt[keep]
+        self.kf_words[kf] = uw
+        self.kf_weights[kf] = wt
+        for u in uw:
+            self.inv.setdefault(int(u), []).append(kf)
         self.present[kf] = True
         self.kf_word[kf] = word
         self.kf_node[kf] = node
@@ -52,12 +79,36 @@ class KeyFrameDatabase:
         if kf >= len(self.present):
             return
         self.present[kf] = False
-        self.bow[kf] = 0
-        self.word_mask[kf] = False
 
     # ----------------------------------------------------------------- query
-    def _common_words(self, v_mask: np.ndarray) -> np.ndarray:
-        return (self.word_mask & v_mask[None, :]).sum(-1)
+    def query_vector(self, kf: int) -> np.ndarray:
+        """Dense (n_words,) tf-idf vector of a stored keyframe (query side
+        of DetectNBestCandidates — the query is always one vector, so dense
+        is fine; the database side stays sparse)."""
+        v = np.zeros(self.n_words, np.float32)
+        if kf in self.kf_words:
+            v[self.kf_words[kf]] = self.kf_weights[kf]
+        return v
+
+    def _sparse_score(self, kf: int, query_bow: np.ndarray) -> float:
+        """DBoW2 L1 score Σ_i min(a_i, b_i) over the stored KF's support
+        (min is 0 outside the intersection; ScoringObject.cpp L1Scoring)."""
+        w = self.kf_words.get(kf)
+        if w is None or not len(w):
+            return 0.0
+        return float(np.minimum(self.kf_weights[kf], query_bow[w]).sum())
+
+    def _common_words(self, query_words: np.ndarray) -> np.ndarray:
+        """Per-KF count of shared words via the inverted file
+        (KeyFrameDatabase.cc:703-721)."""
+        lists = [
+            np.asarray(self.inv[int(w)], np.int64)
+            for w in query_words
+            if self.inv.get(int(w))
+        ]
+        if not lists:
+            return np.zeros(len(self.present), np.int64)
+        return np.bincount(np.concatenate(lists), minlength=len(self.present))
 
     def detect_candidates(
         self,
@@ -73,8 +124,8 @@ class KeyFrameDatabase:
         final_acc_cut, when set, keeps every group above cut*bestAccScore
         (the DetectRelocalizationCandidates 0.75 rule,
         KeyFrameDatabase.cc:920)."""
-        v_mask = query_bow > 0
-        common = self._common_words(v_mask)
+        qwords = np.nonzero(query_bow > 0)[0]
+        common = self._common_words(qwords)
         common[~self.present] = 0
         for k in exclude:
             if 0 <= k < len(common):
@@ -83,17 +134,17 @@ class KeyFrameDatabase:
             return []
         th = max(min_score_cut * common.max(), 1)
         cands = np.nonzero(common >= th)[0]
-        scores = score_l1(self.bow[cands], query_bow[None, :])
 
         # accumulate over each candidate's 10 best covisible neighbors; the
         # group's champion is its best-scoring member (pBestScoreKF)
         acc = []
-        for c, s in zip(cands, scores):
+        for c in cands:
             group = [int(c)] + map_state.covisible_kfs(int(c), k=10, min_weight=5)
             g_scores = [
-                (float(score_l1(self.bow[g], query_bow)), int(g))
+                (self._sparse_score(int(g), query_bow), int(g))
                 for g in group
-                if self.present[g] and g not in exclude
+                if g < len(self.present) and self.present[g]
+                and g not in exclude
             ]
             if not g_scores:
                 continue

@@ -16,6 +16,9 @@ extractor, so the tree covers the statistics of our rBRIEF pattern:
 import argparse
 import glob
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def main():
