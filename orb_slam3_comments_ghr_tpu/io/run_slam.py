@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--viz", default=None,
                     help="directory for map/frame PNG renders (Viewer analog)")
+    ap.add_argument("--viewer-port", type=int, default=None,
+                    help="serve the live HTTP viewer (frame/map/state; the "
+                         "Pangolin Viewer analog) on this port; 0 = any")
     ap.add_argument("--clahe", action="store_true",
                     help="CLAHE-equalize frames (clip 3.0, 8x8 tiles) like "
                          "the reference ROS drivers "
@@ -96,6 +99,14 @@ def main(argv=None):
     else:
         ds = datasets.TumRgbdDataset(args.root)
 
+    viewer = None
+    if args.viewer_port is not None:
+        from ..utils.live_viewer import LiveViewer
+
+        viewer = LiveViewer(slam, port=args.viewer_port)
+        port = viewer.start()
+        print(f"live viewer: http://127.0.0.1:{port}/", file=sys.stderr)
+
     n_tracked = 0
     t0 = time.perf_counter()
     for i, fr in enumerate(ds):
@@ -118,7 +129,11 @@ def main(argv=None):
             pose = slam.track_monocular(img, fr.timestamp)
         if pose is not None:
             n_tracked += 1
+        if viewer is not None:
+            viewer.publish(img)
     wall = time.perf_counter() - t0
+    if viewer is not None:
+        viewer.stop()
 
     if hasattr(slam, "wait_idle"):
         slam.wait_idle()
