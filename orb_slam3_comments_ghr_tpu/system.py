@@ -47,7 +47,8 @@ class SLAM:
         import os
         from .retrieval.vocabulary import Vocabulary
         from .retrieval.database import KeyFrameDatabase
-        voc_path = os.path.join(os.path.dirname(__file__), "retrieval", "default_voc.npz")
+        voc_path = self.cfg.voc_path or os.path.join(
+            os.path.dirname(__file__), "retrieval", "default_voc.npz")
         self.voc = Vocabulary.load(voc_path) if os.path.exists(voc_path) else Vocabulary.random()
         self.kfdb = KeyFrameDatabase(self.voc, self.cfg.max_kf)
         self.imu = None

@@ -38,6 +38,16 @@ class SlamConfig:
     local_ba_points: int = 4096
     local_ba_iters: int = 10
     kf_cull_redundancy: float = 0.9
+    # place recognition
+    voc_path: str | None = None          # vocabulary .npz; None = the shipped
+                                         # default (retrieval/default_voc.npz,
+                                         # 10k words). A k=10 L=5 100k-word
+                                         # tree (reference scale,
+                                         # TemplatedVocabulary.h) ships as
+                                         # retrieval/voc_100k.npz — measured
+                                         # retrieval-equal on 300-KF maps
+                                         # (scripts/eval_vocabulary.py,
+                                         # BASELINE.md r4)
     # map capacities
     max_kf: int = 512
     max_mp: int = 40000

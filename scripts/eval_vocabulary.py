@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 class _NoCovis:
-    def covisible_kfs(self, k, **kw):
+    def covisible_kfs(self, kf, k=10, **kw):
         return []
 
 

@@ -210,3 +210,52 @@ class TestRetrievalPrecisionAtScale:
         assert len(cands) >= 1
         hits = [kf_scene[c] == 7 for c in cands]
         assert all(hits), [kf_scene[c] for c in cands]
+
+
+class TestLargeVocabulary:
+    def test_100k_vocabulary_loads_and_retrieves(self):
+        """The shipped reference-scale tree (k=10 L=5, 100k words —
+        TemplatedVocabulary.h configuration) loads through SlamConfig.voc_path
+        and retrieves the right scene from a multi-scene database."""
+        import os
+        from orb_slam3_comments_ghr_tpu.retrieval.vocabulary import Vocabulary
+        voc_path = os.path.join(
+            os.path.dirname(trk.__file__), "..", "retrieval", "voc_100k.npz")
+        voc = Vocabulary.load(voc_path)
+        assert voc.n_words == 100000 and voc.k == 10 and voc.L == 5
+        db = KeyFrameDatabase(voc, 64)
+
+        class _NoCovis:
+            def covisible_kfs(self, kf, k=10, min_weight=5, **kw):
+                return []
+
+        rng = np.random.default_rng(11)
+        kf_scene = {}
+        kf = 0
+        worlds = [synthetic.make_ring_world(300 + s) for s in range(6)]
+        poses = synthetic.circular_trajectory(5, arc=0.5, outward=True)
+        for s, world in enumerate(worlds):
+            for R, t in poses:
+                feats, _ = synthetic.render_features(
+                    world, CAM, R, t, n_feat=512, seed=rng.integers(1 << 30))
+                db.add(kf, np.asarray(feats.desc), np.asarray(feats.valid))
+                kf_scene[kf] = s
+                kf += 1
+        feats, _ = synthetic.render_features(
+            worlds[2], CAM, *poses[1], n_feat=512, seed=424242)
+        word, _ = voc.transform(np.asarray(feats.desc), np.asarray(feats.valid))
+        qbow = voc.bow_vector(word)
+        cands = db.detect_candidates(qbow, set(), _NoCovis(), n_best=3)
+        assert len(cands) >= 1
+        assert all(kf_scene[c] == 2 for c in cands), \
+            [kf_scene[c] for c in cands]
+
+    def test_slam_config_voc_path(self, tmp_path):
+        """SlamConfig.voc_path overrides the default vocabulary."""
+        import os
+        from orb_slam3_comments_ghr_tpu.retrieval import vocabulary as vmod
+        voc_path = os.path.join(
+            os.path.dirname(vmod.__file__), "voc_100k.npz")
+        cfg = SlamConfig(n_features=256, voc_path=voc_path)
+        slam = SLAM(CAM, cfg)
+        assert slam.voc.n_words == 100000
