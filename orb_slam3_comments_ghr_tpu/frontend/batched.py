@@ -220,6 +220,7 @@ def _diff_matrix() -> np.ndarray:
 
 
 _DIFF_MAT = jnp.asarray(_diff_matrix())  # (2304, B*256)
+_DIFF_MAT_I8 = jnp.asarray(_diff_matrix().astype(np.int8))
 
 
 def _batched_descriptors(blurred, xs, ys, lvls, angles, shapes):
@@ -244,11 +245,20 @@ def _batched_descriptors(blurred, xs, ys, lvls, angles, shapes):
         )
 
     patches = jax.vmap(get_patch)(lvls, ys, xs).reshape(n, PATCH_SIDE * PATCH_SIDE)
-    # HIGHEST: bf16 multiply passes (DEFAULT) round 0-255 pixels to 8
-    # mantissa bits and flip bits on near-tie pattern pairs; full-f32
-    # products keep the comparison exact to float roundoff
-    diff = jnp.matmul(patches, _DIFF_MAT,
-                      precision=jax.lax.Precision.HIGHEST)  # (n, B*256)
+    # Quantize the blurred patch to integers (the reference computes rBRIEF
+    # on the uint8 GaussianBlur output, ORBextractor.cc:1631) and run the
+    # +-1 contraction as TWO int8 MXU matmuls (q = 2*hi + lo with
+    # hi = q>>1 <= 127, lo = q&1): int32 accumulation makes the pixel
+    # difference EXACT for the rounded image, and the int8 path measured
+    # ~2x faster than the f32 HIGHEST matmul it replaces on a v5e.
+    q = jnp.clip(jnp.round(patches), 0, 255).astype(jnp.int32)
+    hi = (q >> 1).astype(jnp.int8)
+    lo = (q & 1).astype(jnp.int8)
+    dimn = (((1,), (0,)), ((), ()))
+    mm = lambda a: jax.lax.dot_general(
+        a, _DIFF_MAT_I8, dimn, preferred_element_type=jnp.int32
+    )
+    diff = 2 * mm(hi) + mm(lo)  # (n, B*256) exact int32
     bits_all = (diff > 0).reshape(n, N_ROT_BINS, 256)
     bidx = (
         jnp.round(angles / (2 * jnp.pi) * N_ROT_BINS).astype(jnp.int32) % N_ROT_BINS
