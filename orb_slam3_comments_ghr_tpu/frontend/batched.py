@@ -271,6 +271,88 @@ def _batched_descriptors(blurred, xs, ys, lvls, angles, shapes):
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
 
 
+PATCH_IN = PATCH_SIDE + 6  # 48 + two 3-tap blur borders
+
+
+def _blur_valid() -> jnp.ndarray:
+    """(PATCH_SIDE, PATCH_IN) 'valid' 7-tap sigma=2 Gaussian band: row i of
+    the blurred 48-patch from rows [i, i+6] of the 54-patch. Interior pixels
+    match the whole-image separable blur to float roundoff."""
+    x = np.arange(-3, 4, dtype=np.float64)
+    k = np.exp(-0.5 * (x / 2.0) ** 2)
+    k /= k.sum()
+    M = np.zeros((PATCH_SIDE, PATCH_IN), np.float32)
+    for i in range(PATCH_SIDE):
+        M[i, i : i + 7] = k
+    return jnp.asarray(M)
+
+
+_BLUR_VALID = _blur_valid()
+
+
+def _per_keypoint_stages(P, xs, ys, lvls, shapes):
+    """Orientation + blur + descriptors from ONE 54x54 patch gather per
+    keypoint. The previous schedule gathered twice (31x31 for IC moments,
+    48x48 from a separately whole-image-blurred stack); slicing a single
+    PATCH_IN patch from the unblurred pyramid and blurring IN-PATCH with two
+    small 'valid' matmuls drops the full-stack Gaussian blur (~1.5 ms) and
+    one 1024-way gather pass (~1.9 ms) from the per-frame program. Interior
+    blur values are identical to the whole-image blur; only pattern samples
+    of keypoints within 27 px of a level border see (already zero-padded)
+    context differences. Returns (angles, desc)."""
+    half_in = PATCH_IN // 2
+    n = xs.shape[0]
+    padded = jnp.pad(P, ((0, 0), (half_in, half_in), (half_in, half_in)))
+    L, Hp, Wp = padded.shape
+    flat2d = padded.reshape(L * Hp, Wp)
+
+    def get_patch(l, y, x):
+        return jax.lax.dynamic_slice(
+            flat2d, (l * Hp + y, x), (PATCH_IN, PATCH_IN)
+        )
+
+    patches = jax.vmap(get_patch)(lvls, ys, xs)  # (n, 54, 54)
+
+    # IC-angle from the central 31x31 of the unblurred patch
+    S = 2 * brief.HALF_PATCH + 1
+    off = half_in - brief.HALF_PATCH
+    kx, ky = _moment_kernels()
+    kmat = jnp.stack([kx.reshape(-1), ky.reshape(-1)], axis=1)  # (961, 2)
+    central = jax.lax.dynamic_slice(
+        patches, (0, off, off), (n, S, S)
+    ).reshape(n, S * S)
+    m = central @ kmat
+    angles = jnp.arctan2(m[:, 1], m[:, 0])
+
+    # in-patch separable blur: (48,54) @ (n,54,54) @ (54,48)
+    blurred = jnp.einsum(
+        "rh,nhw,cw->nrc", _BLUR_VALID, patches, _BLUR_VALID,
+        precision=jax.lax.Precision.DEFAULT,
+    ).reshape(n, PATCH_SIDE * PATCH_SIDE)
+
+    # quantize + two int8 MXU matmuls (see _batched_descriptors)
+    q = jnp.clip(jnp.round(blurred), 0, 255).astype(jnp.int32)
+    hi = (q >> 1).astype(jnp.int8)
+    lo = (q & 1).astype(jnp.int8)
+    dimn = (((1,), (0,)), ((), ()))
+    mm = lambda a: jax.lax.dot_general(
+        a, _DIFF_MAT_I8, dimn, preferred_element_type=jnp.int32
+    )
+    diff = 2 * mm(hi) + mm(lo)
+    bits_all = (diff > 0).reshape(n, N_ROT_BINS, 256)
+    bidx = (
+        jnp.round(angles / (2 * jnp.pi) * N_ROT_BINS).astype(jnp.int32)
+        % N_ROT_BINS
+    )
+    onehot = jax.nn.one_hot(bidx, N_ROT_BINS, dtype=jnp.float32)
+    bits = jnp.einsum("nb,nbs->ns", onehot, bits_all.astype(jnp.float32),
+                      precision=jax.lax.Precision.DEFAULT) > 0.5
+    bits = bits.astype(jnp.uint32).reshape(-1, 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    desc = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    return angles, desc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale", "ini_th", "min_th"),
@@ -325,10 +407,7 @@ def extract_batched(
         xs[order], ys[order], lvls[order], rs[order], valid[order]
     )
 
-    angles = _ic_angles_at(P, xs, ys, lvls)
-
-    blurred = _batched_blur(P)
-    desc = _batched_descriptors(blurred, xs, ys, lvls, angles, shapes)
+    angles, desc = _per_keypoint_stages(P, xs, ys, lvls, shapes)
 
     sfac = jnp.asarray([scale ** i for i in range(n_levels)])[lvls]
     xy = jnp.stack([xs.astype(jnp.float32) * sfac, ys.astype(jnp.float32) * sfac], -1)
