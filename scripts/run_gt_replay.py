@@ -41,10 +41,16 @@ def main(argv=None):
     ap.add_argument("--no-loop", action="store_true",
                     help="disable loop closing / merging (isolation runs)")
     ap.add_argument("--out", default=None, help="TUM trajectory output path")
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="'cpu' forces the host backend IN-PROCESS "
+                         "(JAX_PLATFORMS is ignored here: the image preloads "
+                         "the axon TPU plugin via sitecustomize)")
     args = ap.parse_args(argv)
 
     import jax
 
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from orb_slam3_comments_ghr_tpu.utils.cache import setup_compile_cache
     setup_compile_cache(
         jax,
