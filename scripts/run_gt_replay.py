@@ -124,7 +124,16 @@ def main(argv=None):
             pose = slam.track_features(feats, ts)
         else:
             img = gt_replay.render_room(scene, cam, R_cw[i], t_cw[i])
-            pose = slam.track_monocular(jnp.asarray(img), ts)
+            if stereo:
+                # right camera: center shifted by +baseline along the left
+                # camera's x axis => t_r = t_l - [b,0,0] (rectified pair)
+                b = float(cam.bf) / float(cam.fx)
+                t_r = t_cw[i] - np.array([b, 0.0, 0.0], t_cw.dtype)
+                img_r = gt_replay.render_room(scene, cam, R_cw[i], t_r)
+                pose = slam.track_stereo(jnp.asarray(img), jnp.asarray(img_r),
+                                         ts)
+            else:
+                pose = slam.track_monocular(jnp.asarray(img), ts)
         frame_times.append(time.perf_counter() - t_f)
         if pose is not None:
             n_tracked += 1
