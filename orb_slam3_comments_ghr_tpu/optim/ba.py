@@ -364,6 +364,54 @@ def classify_observations(cam: cameras.Camera, prob: BAProblem):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "iters", "use_huber"))
+def bundle_adjust_step(
+    cam: cameras.Camera,
+    prob: BAProblem,
+    lam0: jnp.ndarray,
+    iters: int = 2,
+    use_huber: bool = True,
+):
+    """A BITE of LM iterations with the damping threaded in/out, and NO final
+    classification pass. Chaining bites host-side is bit-identical to one
+    `bundle_adjust` call of the same total iters, but each device dispatch is
+    short — on a single shared chip the mapper yields the stream between
+    bites so the tracker's latency-critical per-frame programs interleave
+    instead of stalling behind one long BA program (the reference gets the
+    same property from preemptive CPU threads, Optimizer.cc:5082 vs
+    Tracking thread)."""
+    with jax.default_matmul_precision("high"):
+        K = prob.cam_R.shape[0]
+
+        def body(_, carry):
+            R, t, p, lam = carry
+            r, Jc, Jp, w, chi2, row_mask, delta2 = _obs_terms(
+                cam, prob, R, t, p, use_huber
+            )
+            cost0 = _cost(chi2, delta2, prob.obs_valid, use_huber)
+            H_pp, b_p, H_cc, b_c, W = _assemble(prob, r, Jc, Jp, w, row_mask, K)
+            dxc, dp = _schur_solve(prob, H_pp, b_p, H_cc, b_c, W, lam, K)
+            dR, dt = lie.se3_exp(dxc)
+            R_new, t_new = lie.se3_mul(dR, dt, R, t)
+            p_new = p + dp
+            _, _, _, _, chi2_new, _, _ = _obs_terms(
+                cam, prob, R_new, t_new, p_new, use_huber
+            )
+            cost1 = _cost(chi2_new, delta2, prob.obs_valid, use_huber)
+            better = cost1 < cost0
+            R = jnp.where(better, R_new, R)
+            t = jnp.where(better, t_new, t)
+            p = jnp.where(better, p_new, p)
+            lam = jnp.where(better, lam * 0.5, lam * 5.0)
+            return R, t, p, lam
+
+        R, t, p, lam = jax.lax.fori_loop(
+            0, iters, body,
+            (prob.cam_R, prob.cam_t, prob.p, lam0.astype(prob.cam_R.dtype)),
+        )
+        return R, t, p, lam
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "iters", "use_huber"))
 def bundle_adjust(
     cam: cameras.Camera,
     prob: BAProblem,

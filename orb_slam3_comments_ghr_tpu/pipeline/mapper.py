@@ -48,6 +48,12 @@ class LocalMapper:
         self.viba2_done = False
         self.bad_imu = False  # mbBadImu (consumed by the system/tracker)
         self.abort_gba = False  # mbStopGBA (request_abort_gba)
+        # True when this mapper runs on a background thread SHARING the device
+        # stream with a latency-critical tracker (system.async_mapping): long
+        # optimizations are then dispatched in short bites with a stream yield
+        # between them, so per-frame tracking programs interleave instead of
+        # queueing behind one ~80 ms BA dispatch.
+        self.share_stream = False
         self.last_scale_refine_t = -1e18  # ScaleRefinement cadence clock
         self._imu_init_failures = 0
         self._staging_map = 0  # map id the viba1/viba2/t_imu_init clocks track
@@ -776,8 +782,31 @@ class LocalMapper:
             obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
             obs_valid=jnp.asarray(obs_valid),
         )
-        Rn, tn, pn, inlier, _ = ba.bundle_adjust(self.cam, prob, iters=iters)
-        Rn, tn, pn, inlier = device_fetch((Rn, tn, pn, inlier))
+        if self.share_stream and iters > 2:
+            # bite-wise dispatch (bit-identical to the monolithic call): yield
+            # the device stream between 2-iteration bites so the tracker's
+            # per-frame programs interleave with this BA instead of stalling
+            # behind it (single-chip analog of the reference's thread
+            # preemption between Tracking and LocalMapping).
+            import jax
+            import dataclasses
+            lam = jnp.asarray(1e-4, jnp.float32)
+            Rd, td, pd = prob.cam_R, prob.cam_t, prob.p
+            done = 0
+            while done < iters:
+                bite = min(2, iters - done)
+                probd = dataclasses.replace(prob, cam_R=Rd, cam_t=td, p=pd)
+                Rd, td, pd, lam = ba.bundle_adjust_step(
+                    self.cam, probd, lam, iters=bite
+                )
+                jax.block_until_ready(lam)  # stream yield point
+                done += bite
+            probd = dataclasses.replace(prob, cam_R=Rd, cam_t=td, p=pd)
+            inlier = ba.classify_observations(self.cam, probd)
+            Rn, tn, pn, inlier = device_fetch((Rd, td, pd, inlier))
+        else:
+            Rn, tn, pn, inlier, _ = ba.bundle_adjust(self.cam, prob, iters=iters)
+            Rn, tn, pn, inlier = device_fetch((Rn, tn, pn, inlier))
         with m.lock:  # atomic write-back vs the tracker's local-view reads
             for c in opt_kfs:
                 i = cam_slot[c]

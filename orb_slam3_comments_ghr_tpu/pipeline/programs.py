@@ -237,6 +237,19 @@ track_only = jax.jit(
 )
 
 
+@functools.partial(jax.jit, static_argnames=("min_matches",))
+def chain_seed(prev_R, prev_t, prev_n, vR, vt, R0, t0, min_matches: int):
+    """Pose seed for the deep pipeline: advance the PREVIOUS frame's
+    device-resident track result one velocity step, falling back to the host
+    prediction when that frame tracked thin. One dispatch — doing this with
+    eager jnp ops costs ~6 separate device round-trips per frame, which
+    dominates the frame budget on a congested remote-device relay."""
+    Rc = vR @ prev_R
+    tc = vR @ prev_t + vt
+    good = prev_n >= min_matches
+    return jnp.where(good, Rc, R0), jnp.where(good, tc, t0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

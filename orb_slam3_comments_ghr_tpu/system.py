@@ -78,6 +78,7 @@ class SLAM:
             # background GBA holds the device), new keyframes simply are not
             # created, the reference's SetAcceptKeyFrames semantics (P5).
             self._map_queue = _q.Queue()
+            self.mapper.share_stream = True  # bite-wise BA dispatch (see mapper)
             self.tracker.queue_probe = self._map_queue.qsize
             self._map_worker = threading.Thread(
                 target=self._mapping_worker, daemon=True
@@ -173,31 +174,33 @@ class SLAM:
             ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
             undistort=self.cam.kind != cameras.PINHOLE,
         )
-        feats_fetch = device_fetch_async(feats)
         steps = len(self._pipe) + 1
         prev = self._pipe[-1] if self._pipe else None
         ready, lp, ids, R0, t0 = self.tracker.prepare_frame(
             timestamp, steps=steps
         )
-        res_fetch = prepared = res_dev = None
+        prepared = res_dev = None
         if ready:
             # pose seed: chain on the PREVIOUS frame's device-resident track
             # result (one velocity step ahead) instead of extrapolating the
             # host pose `steps` frames — the prediction is then never more
             # than one frame stale, whatever the pipeline depth. Falls back
             # to the host prediction when the chained frame tracked thin.
+            # (single fused dispatch — see programs.chain_seed)
             if prev is not None and prev.get("res_dev") is not None:
                 pres = prev["res_dev"]
                 vel = self.tracker.velocity
                 if vel is not None:
-                    vR = jnp.asarray(vel[:3, :3].astype(np.float32))
-                    vt = jnp.asarray(vel[:3, 3].astype(np.float32))
-                    Rc, tc = vR @ pres.R, vR @ pres.t + vt
+                    vR = vel[:3, :3].astype(np.float32)
+                    vt = vel[:3, 3].astype(np.float32)
                 else:
-                    Rc, tc = pres.R, pres.t
-                good = pres.n_inliers >= self.cfg.min_track_matches
-                R0 = jnp.where(good, Rc, R0)
-                t0 = jnp.where(good, tc, t0)
+                    vR = np.eye(3, dtype=np.float32)
+                    vt = np.zeros(3, np.float32)
+                R0, t0 = programs.chain_seed(
+                    pres.R, pres.t, pres.n_inliers, vR, vt,
+                    jnp.asarray(R0), jnp.asarray(t0),
+                    min_matches=self.cfg.min_track_matches,
+                )
             res = programs.track_only(
                 self.geom_cam, feats, lp, R0, t0,
                 th=max(self.tracker._prepared_th, 2.0 if steps > 1 else 1.0),
@@ -205,12 +208,16 @@ class SLAM:
                 use_pallas=self.use_pallas,
             )
             res_dev = res
-            res_fetch = device_fetch_async(tuple(res))
+            # ONE packed async fetch for everything this frame sends home
+            # (features + track result), instead of two round-trips
+            fetch = device_fetch_async((feats, tuple(res)))
             prepared = self.tracker._prepared
+        else:
+            fetch = device_fetch_async((feats, None))
         self._pipe.append({
             "ts": timestamp,
-            "feats_fetch": feats_fetch,
-            "res_fetch": res_fetch,
+            "fetch": fetch,
+            "has_res": ready,
             "res_dev": res_dev,
             "prepared": prepared,
             "ctx": self.tracker.capture_frame_context(),
@@ -223,11 +230,11 @@ class SLAM:
         from .pipeline import programs
 
         e = self._pipe.pop(0)
-        feats_host = e["feats_fetch"].get()
+        feats_host, res_tuple = e["fetch"].get()
         self.tracker.restore_frame_context(e["ctx"])
         pre = None
-        if e["res_fetch"] is not None:
-            res = programs.TrackResult(*e["res_fetch"].get())
+        if e["has_res"]:
+            res = programs.TrackResult(*res_tuple)
             pre = (res, e["prepared"])
         return self.track_features(feats_host, e["ts"], precomputed=pre)
 
