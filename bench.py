@@ -116,6 +116,7 @@ def main():
                     "map_points": slam.n_map_points(),
                     "platform": jax.devices()[0].platform,
                     "local_ba_ms_per_kf_p50": local_ba_ms,
+                    "worker_errors": slam.worker_errors,
                     "fps_best_quartile": round(fps_p25, 2),
                     "fps_median_per_pass": pass_meds,
                 },

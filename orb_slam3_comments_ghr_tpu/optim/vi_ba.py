@@ -185,7 +185,30 @@ def vi_bundle_adjust(cam: cameras.Camera, prob: VIBAProblem, iters: int = 10,
         return _vi_ba_body(cam, prob, iters, use_huber)
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "iters", "use_huber"))
+def vi_bundle_adjust_step(cam: cameras.Camera, prob: VIBAProblem,
+                          lam0: jnp.ndarray, iters: int = 2,
+                          use_huber: bool = True):
+    """A lam-threaded BITE of VI-LM iterations (no final classification pass).
+    Chained bites are bit-identical to one `vi_bundle_adjust` of the same
+    total iters; the mapper yields the device stream between bites when it
+    shares the chip with the tracker (see optim.ba.bundle_adjust_step).
+    Returns (Rwb, pwb, vel, bias, p, lam)."""
+    with jax.default_matmul_precision("high"):
+        return _vi_ba_loop(cam, prob, lam0, iters, use_huber)
+
+
 def _vi_ba_body(cam, prob, iters, use_huber):
+    Rwb, pwb, vel, bias, p, _ = _vi_ba_loop(
+        cam, prob, jnp.array(1e-4), iters, use_huber
+    )
+    _, _, _, _, chi2, _, delta2 = _vis_terms(cam, prob, Rwb, pwb, p, False)
+    inlier = prob.obs_valid & (chi2 <= delta2)
+    cost = _total_cost(cam, prob, Rwb, pwb, vel, bias, p, False)
+    return Rwb, pwb, vel, bias, p, inlier, cost
+
+
+def _vi_ba_loop(cam, prob, lam0, iters, use_huber):
     K = prob.Rwb.shape[0]
     eye15 = jnp.eye(CDIM)
 
@@ -274,11 +297,8 @@ def _vi_ba_body(cam, prob, iters, use_huber):
         lam = jnp.where(better, lam * 0.5, lam * 5.0)
         return Rwb, pwb, vel, bias, p, lam
 
-    Rwb, pwb, vel, bias, p, _ = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, iters, body_step,
-        (prob.Rwb, prob.pwb, prob.vel, prob.bias, prob.p, jnp.array(1e-4)),
+        (prob.Rwb, prob.pwb, prob.vel, prob.bias, prob.p,
+         lam0.astype(prob.pwb.dtype)),
     )
-    _, _, _, _, chi2, _, delta2 = _vis_terms(cam, prob, Rwb, pwb, p, False)
-    inlier = prob.obs_valid & (chi2 <= delta2)
-    cost = _total_cost(cam, prob, Rwb, pwb, vel, bias, p, False)
-    return Rwb, pwb, vel, bias, p, inlier, cost

@@ -715,7 +715,20 @@ class LoopCloser:
             fn(**kw)
             return
         self.join_gba()  # at most one GBA at a time (reference semantics)
-        t = threading.Thread(target=fn, kwargs=kw, daemon=True)
+
+        def run():
+            # same host-CPU routing as the mapping worker (see
+            # system._worker_device): GBA must not contend with the
+            # latency-critical tracking stream on a remote-attached chip
+            dev = getattr(self, "worker_device", None)
+            if dev is not None:
+                import jax as _jax
+                with _jax.default_device(dev):
+                    fn(**kw)
+            else:
+                fn(**kw)
+
+        t = threading.Thread(target=run, daemon=True)
         self._gba_thread = t
         t.start()
 

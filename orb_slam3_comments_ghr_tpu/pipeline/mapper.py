@@ -22,6 +22,17 @@ from . import programs
 from ..utils.fetch import device_fetch
 
 
+def _bite_yield(dt: float = 0.010):
+    """Stream-yield between BA bites WITHOUT touching the device: sleep about
+    one bite's device time so the next bite is enqueued after any tracker
+    programs that arrived meanwhile. A block_until_ready here would cost a
+    full host<->device round trip per bite (~30 ms+ through a remote-attached
+    relay), starving the mapper; a host sleep costs nothing on the wire and
+    bounds how much BA work can sit contiguously ahead of a tracked frame."""
+    import time
+    time.sleep(dt)
+
+
 def _pad_pow2(n: int, lo: int, hi: int) -> int:
     """Round up to a power-of-two bucket to bound jit cache size."""
     b = lo
@@ -554,9 +565,29 @@ class LocalMapper:
             obs_valid=jnp.asarray(obs_valid),
             pre=pre_stack, pre_valid=jnp.asarray(pre_ok),
         )
-        Rwb_n, pwb_n, vel_n, bias_n, p_n, inlier, _ = vi_ba.vi_bundle_adjust(
-            self.cam, prob, iters=iters
-        )
+        if self.share_stream and iters > 2:
+            # bite-wise lam-threaded dispatch with stream yields, so the
+            # tracker's per-frame programs interleave (see _run_ba)
+            import jax
+            lam = jnp.asarray(1e-4, jnp.float32)
+            Rwb_n, pwb_n = prob.Rwb, prob.pwb
+            vel_n, bias_n, p_n = prob.vel, prob.bias, prob.p
+            done = 0
+            while done < iters:
+                bite = min(2, iters - done)
+                probd = prob._replace(
+                    Rwb=Rwb_n, pwb=pwb_n, vel=vel_n, bias=bias_n, p=p_n
+                )
+                Rwb_n, pwb_n, vel_n, bias_n, p_n, lam = (
+                    vi_ba.vi_bundle_adjust_step(self.cam, probd, lam, iters=bite)
+                )
+                done += bite
+                if done < iters:
+                    _bite_yield()
+        else:
+            Rwb_n, pwb_n, vel_n, bias_n, p_n, inlier, _ = vi_ba.vi_bundle_adjust(
+                self.cam, prob, iters=iters
+            )
         Rwb_n, pwb_n, vel_n, bias_n, p_n = device_fetch(
             (Rwb_n, pwb_n, vel_n, bias_n, p_n)
         )
@@ -789,19 +820,19 @@ class LocalMapper:
             # behind it (single-chip analog of the reference's thread
             # preemption between Tracking and LocalMapping).
             import jax
-            import dataclasses
             lam = jnp.asarray(1e-4, jnp.float32)
             Rd, td, pd = prob.cam_R, prob.cam_t, prob.p
             done = 0
             while done < iters:
                 bite = min(2, iters - done)
-                probd = dataclasses.replace(prob, cam_R=Rd, cam_t=td, p=pd)
+                probd = prob._replace(cam_R=Rd, cam_t=td, p=pd)
                 Rd, td, pd, lam = ba.bundle_adjust_step(
                     self.cam, probd, lam, iters=bite
                 )
-                jax.block_until_ready(lam)  # stream yield point
                 done += bite
-            probd = dataclasses.replace(prob, cam_R=Rd, cam_t=td, p=pd)
+                if done < iters:
+                    _bite_yield()
+            probd = prob._replace(cam_R=Rd, cam_t=td, p=pd)
             inlier = ba.classify_observations(self.cam, probd)
             Rn, tn, pn, inlier = device_fetch((Rd, td, pd, inlier))
         else:

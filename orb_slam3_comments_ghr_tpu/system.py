@@ -68,6 +68,7 @@ class SLAM:
         self._pipe: list[dict] = []  # in-flight frames (deep pipeline)
         self._map_queue = None
         self._map_worker = None
+        self.worker_errors = 0  # exceptions swallowed by the mapping worker
         if self.cfg.async_mapping:
             import queue as _q
             import threading
@@ -78,7 +79,11 @@ class SLAM:
             # background GBA holds the device), new keyframes simply are not
             # created, the reference's SetAcceptKeyFrames semantics (P5).
             self._map_queue = _q.Queue()
-            self.mapper.share_stream = True  # bite-wise BA dispatch (see mapper)
+            wdev = self._worker_device()
+            # share_stream (bite-wise BA) only matters when the mapper COULD
+            # contend with tracking on the same device stream
+            self.mapper.share_stream = wdev is None
+            self.loopcloser.worker_device = wdev
             self.tracker.queue_probe = self._map_queue.qsize
             self._map_worker = threading.Thread(
                 target=self._mapping_worker, daemon=True
@@ -374,21 +379,55 @@ class SLAM:
                     self.tracker._last_prediction = None
         return pose
 
+    def _worker_device(self):
+        """Device the BACKGROUND threads (mapper/loopcloser/GBA) compute on.
+
+        When tracking runs on an accelerator reached over a high-latency
+        relay, the mapper's many small dispatch+fetch steps each pay a relay
+        round trip AND its BA programs contend with the latency-critical
+        per-frame tracking stream. Routing background work to the host CPU
+        backend removes both: the reference runs LocalMapping/LoopClosing/GBA
+        on CPU threads too — this is the same heterogeneous split, expressed
+        as a jax.default_device placement. Inertial configs stay on the main
+        device (their preintegration buffers are committed there).
+        """
+        import jax as _jax
+
+        if self.cfg.is_inertial:
+            return None
+        try:
+            if _jax.devices()[0].platform == "cpu":
+                return None  # already on host — nothing to route
+            return _jax.local_devices(backend="cpu")[0]
+        except Exception:
+            return None
+
     def _mapping_worker(self):
         """Background LocalMapping/LoopClosing consumer — the reference's
         pipeline parallelism (SURVEY §2.3 P1) as a host thread; device work
         releases the GIL so tracking overlaps mapping."""
+        import contextlib
         import traceback
+        import jax as _jax
 
+        dev = self._worker_device()
         while True:
             kf = self._map_queue.get()
             if kf is None:
                 return
             try:
-                self.mapper.process_keyframe(kf)
-                if self.cfg.enable_loop_closing:
-                    self.loopcloser.process_keyframe(kf)
+                ctx = (_jax.default_device(dev) if dev is not None
+                       else contextlib.nullcontext())
+                with ctx:
+                    self.mapper.process_keyframe(kf)
+                    if self.cfg.enable_loop_closing:
+                        self.loopcloser.process_keyframe(kf)
             except Exception:
+                # keep the worker alive (a single bad KF must not kill
+                # mapping) but COUNT the failure — tests and the bench
+                # assert this stays 0 so worker-thread bugs can't hide
+                # behind the resilience policy
+                self.worker_errors += 1
                 traceback.print_exc()
             finally:
                 self._map_queue.task_done()

@@ -29,6 +29,7 @@ class TestAsyncMapping:
             if pose is not None:
                 est.append((i * 0.05, pose))
         slam.wait_idle()
+        assert slam.worker_errors == 0
         assert slam.state in ("OK", "RECENTLY_LOST")
         assert len(est) > 30
         assert slam.n_keyframes() >= 3

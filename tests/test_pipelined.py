@@ -38,6 +38,7 @@ class TestPipelinedMono:
             n_out += 1
         if hasattr(slam_p, "wait_idle"):
             slam_p.wait_idle()
+        assert slam_p.worker_errors == 0
         traj = slam_p.trajectory()
         assert n_out > 25
         assert len(traj) > 25
