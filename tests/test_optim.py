@@ -123,6 +123,25 @@ class TestBundleAdjust:
         )
         return prob, cam_R_gt, t_gt, pts
 
+    def test_bite_chaining_matches_monolithic(self):
+        """Host-chained lam-threaded bites (bundle_adjust_step) must equal one
+        monolithic bundle_adjust of the same total iters — the mapper's
+        stream-sharing dispatch mode (mapper._run_ba share_stream path) is a
+        pure scheduling change, not a numerical one."""
+        prob, _, _, _ = self._problem(jax.random.PRNGKey(3))
+        Rm, tm, pm, inl_m, _ = ba.bundle_adjust(CAM, prob, iters=6)
+        lam = jnp.asarray(1e-4, jnp.float32)
+        Rd, td, pd = prob.cam_R, prob.cam_t, prob.p
+        for _ in range(3):
+            probd = prob._replace(cam_R=Rd, cam_t=td, p=pd)
+            Rd, td, pd, lam = ba.bundle_adjust_step(CAM, probd, lam, iters=2)
+        probd = prob._replace(cam_R=Rd, cam_t=td, p=pd)
+        inl_b = ba.classify_observations(CAM, probd)
+        assert float(jnp.max(jnp.abs(Rd - Rm))) < 1e-6
+        assert float(jnp.max(jnp.abs(td - tm))) < 1e-6
+        assert float(jnp.max(jnp.abs(pd - pm))) < 1e-6
+        assert bool(jnp.all(inl_b == inl_m))
+
     def test_reduces_reprojection_error(self):
         prob, Rg, tg, pg = self._problem(jax.random.PRNGKey(0))
         _, _, _, _, cost0 = ba.bundle_adjust(CAM, prob, iters=0)
