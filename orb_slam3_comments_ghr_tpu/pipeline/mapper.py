@@ -65,6 +65,13 @@ class LocalMapper:
         # between them, so per-frame tracking programs interleave instead of
         # queueing behind one ~80 ms BA dispatch.
         self.share_stream = False
+        # qsize probe of the async KF queue (system wires it): local BA
+        # aborts at a bite boundary when a NEW keyframe is waiting — the
+        # reference's mbAbortBA (LocalMapping.cc:104 InsertKeyFrame sets it,
+        # Optimizer::LocalBundleAdjustment polls pbStopFlag). Keeps the
+        # mapper current at high frame rates instead of polishing a stale
+        # window while the queue grows.
+        self.queue_probe = None
         self.last_scale_refine_t = -1e18  # ScaleRefinement cadence clock
         self._imu_init_failures = 0
         self._staging_map = 0  # map id the viba1/viba2/t_imu_init clocks track
@@ -464,11 +471,13 @@ class LocalMapper:
             chain = self._temporal_chain(kf, cap=cfg.local_ba_kfs)
             if len(chain) >= 3:
                 pts = m.local_point_ids(chain, cfg.local_ba_points)
-                self._run_vi_ba(chain, pts, iters=max(4, cfg.local_ba_iters // 2))
+                self._run_vi_ba(chain, pts,
+                                iters=max(4, cfg.local_ba_iters // 2),
+                                abortable=True)
                 return
         opt_kfs = [kf] + m.covisible_kfs(kf, k=cfg.local_ba_kfs - 1, min_weight=5)
         pts = m.local_point_ids(opt_kfs, cfg.local_ba_points)
-        self._run_ba(opt_kfs, pts, cfg.local_ba_iters)
+        self._run_ba(opt_kfs, pts, cfg.local_ba_iters, abortable=True)
 
     def full_inertial_ba(self, iters: int = 7, max_kfs: int = 256,
                          point_cap: int | None = None):
@@ -496,7 +505,7 @@ class LocalMapper:
             self._run_vi_ba(chain, pts, iters=bite, point_cap=cap)
             done += bite
 
-    def _run_vi_ba(self, chain, pts, iters: int, seam=(),
+    def _run_vi_ba(self, chain, pts, iters: int, seam=(), abortable=False,
                    point_cap: int | None = None):
         """Build + solve a visual-inertial BA over the temporal chain; first
         KF's pose fixed. Links without a preintegration — and links listed in
@@ -565,9 +574,10 @@ class LocalMapper:
             obs_valid=jnp.asarray(obs_valid),
             pre=pre_stack, pre_valid=jnp.asarray(pre_ok),
         )
-        if self.share_stream and iters > 2:
-            # bite-wise lam-threaded dispatch with stream yields, so the
-            # tracker's per-frame programs interleave (see _run_ba)
+        abort_probe = self.queue_probe if abortable else None
+        if (self.share_stream or abort_probe is not None) and iters > 2:
+            # bite-wise lam-threaded dispatch: stream yields + mbAbortBA at
+            # bite boundaries (see _run_ba)
             import jax
             lam = jnp.asarray(1e-4, jnp.float32)
             Rwb_n, pwb_n = prob.Rwb, prob.pwb
@@ -582,7 +592,10 @@ class LocalMapper:
                     vi_ba.vi_bundle_adjust_step(self.cam, probd, lam, iters=bite)
                 )
                 done += bite
-                if done < iters:
+                if (abort_probe is not None and done >= 2
+                        and abort_probe() > 0):
+                    break  # mbAbortBA
+                if done < iters and self.share_stream:
                     _bite_yield()
         else:
             Rwb_n, pwb_n, vel_n, bias_n, p_n, inlier, _ = vi_ba.vi_bundle_adjust(
@@ -758,7 +771,8 @@ class LocalMapper:
                     m.remove_observation(int(pts[j]), int(c))
             m.version += 1
 
-    def _run_ba(self, opt_kfs, pts, iters: int, gauge_fix_first: bool = False):
+    def _run_ba(self, opt_kfs, pts, iters: int, gauge_fix_first: bool = False,
+                abortable: bool = False):
         m = self.map
         cfg = self.cfg
         opt_kfs = list(dict.fromkeys(int(k) for k in opt_kfs))
@@ -813,12 +827,17 @@ class LocalMapper:
             obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
             obs_valid=jnp.asarray(obs_valid),
         )
-        if self.share_stream and iters > 2:
-            # bite-wise dispatch (bit-identical to the monolithic call): yield
-            # the device stream between 2-iteration bites so the tracker's
-            # per-frame programs interleave with this BA instead of stalling
-            # behind it (single-chip analog of the reference's thread
-            # preemption between Tracking and LocalMapping).
+        abort_probe = self.queue_probe if abortable else None
+        if (self.share_stream or abort_probe is not None) and iters > 2:
+            # bite-wise dispatch (bit-identical to the monolithic call when
+            # it runs to completion), for two reference behaviors:
+            #  * share_stream: yield the device stream between 2-iteration
+            #    bites so the tracker's per-frame programs interleave with
+            #    this BA instead of stalling behind it (single-chip analog
+            #    of the reference's Tracking/LocalMapping preemption);
+            #  * mbAbortBA: when a NEW keyframe is already queued, abandon
+            #    the remaining iterations at a bite boundary and go process
+            #    it (LocalMapping.cc:104, Optimizer.cc pbStopFlag).
             import jax
             lam = jnp.asarray(1e-4, jnp.float32)
             Rd, td, pd = prob.cam_R, prob.cam_t, prob.p
@@ -830,7 +849,10 @@ class LocalMapper:
                     self.cam, probd, lam, iters=bite
                 )
                 done += bite
-                if done < iters:
+                if (abort_probe is not None and done >= 2
+                        and abort_probe() > 0):
+                    break  # mbAbortBA: a fresher keyframe is waiting
+                if done < iters and self.share_stream:
                     _bite_yield()
             probd = prob._replace(cam_R=Rd, cam_t=td, p=pd)
             inlier = ba.classify_observations(self.cam, probd)

@@ -83,6 +83,7 @@ class SLAM:
             # share_stream (bite-wise BA) only matters when the mapper COULD
             # contend with tracking on the same device stream
             self.mapper.share_stream = wdev is None
+            self.mapper.queue_probe = self._map_queue.qsize  # mbAbortBA probe
             self.loopcloser.worker_device = wdev
             self.tracker.queue_probe = self._map_queue.qsize
             self._map_worker = threading.Thread(
