@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..ops import lie, cameras
 from . import imu as imu_mod
 from . import robust
+from ..utils.precision import f32_matmuls
 
 
 class InertialWindow(NamedTuple):
@@ -74,6 +75,7 @@ def gravity_seed(win: InertialWindow) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("optimize_scale", "iters"))
+@f32_matmuls
 def inertial_init(
     win: InertialWindow,
     prior_g: float,
@@ -209,6 +211,7 @@ def empty_prior(dtype=jnp.float32) -> VIPrior:
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "iters"))
+@f32_matmuls
 def pose_inertial_optimize(
     cam: cameras.Camera,
     state0: VIState,              # predicted current state

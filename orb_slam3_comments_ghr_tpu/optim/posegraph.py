@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie
+from ..utils.precision import f32_matmuls
 
 
 class PoseGraphProblem(NamedTuple):
@@ -68,6 +69,7 @@ def _edge_residual(xi_i, xi_j, si, Ri, ti, sj, Rj, tj, ms, mR, mt):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "dof4"))
+@f32_matmuls
 def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20, dof4: bool = False):
     """Returns corrected (s, R, t) per keyframe."""
     K = prob.s.shape[0]
@@ -158,6 +160,7 @@ def _edge_blocks(prob: PoseGraphProblem, s, R, t, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "dof4", "cg_iters"))
+@f32_matmuls
 def optimize_pose_graph_cg(prob: PoseGraphProblem, iters: int = 20,
                            dof4: bool = False, cg_iters: int = 100):
     """Scalable essential-graph solve: identical GN linearization to

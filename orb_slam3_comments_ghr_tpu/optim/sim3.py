@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie, cameras
+from ..utils.precision import f32_matmuls
 
 RANSAC_ITERS = 256
 CHI2_SIM3 = 10.0
@@ -45,6 +46,7 @@ def horn_sim3(p1: jnp.ndarray, p2: jnp.ndarray, fix_scale: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "fix_scale", "n_hyp"))
+@f32_matmuls
 def sim3_ransac(
     cam: cameras.Camera,
     p1: jnp.ndarray,        # (N,3) points in KF1 camera frame
@@ -115,6 +117,7 @@ def sim3_ransac(
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "fix_scale", "iters"))
+@f32_matmuls
 def optimize_sim3(
     cam: cameras.Camera,
     s0, R0, t0,

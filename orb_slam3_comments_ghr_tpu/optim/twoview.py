@@ -271,7 +271,14 @@ def reconstruct(
     key: jnp.ndarray,
 ) -> TwoViewResult:
     """uv1/uv2: (N,2) matched pixels in frames 1/2; valid: (N,) mask.
-    Mirrors TwoViewReconstruction::Reconstruct (:81)."""
+    Mirrors TwoViewReconstruction::Reconstruct (:81). Full-f32 matmuls:
+    the reconstruction fixes the INITIAL map's geometry - bf16 here would
+    seed every downstream estimate with ~0.4% relative error."""
+    with jax.default_matmul_precision("highest"):
+        return _reconstruct_body(cam, uv1, uv2, valid, key)
+
+
+def _reconstruct_body(cam, uv1, uv2, valid, key):
     K = cam.K
     n = uv1.shape[0]
     x1n, T1 = _normalize(uv1, valid)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..ops import lie, cameras, matching, triangulate
 from ..optim import pose_opt, robust
+from ..utils.precision import f32_matmuls
 
 
 class LocalPoints(NamedTuple):
@@ -238,6 +239,7 @@ track_only = jax.jit(
 
 
 @functools.partial(jax.jit, static_argnames=("min_matches",))
+@f32_matmuls
 def chain_seed(prev_R, prev_t, prev_n, vR, vt, R0, t0, min_matches: int):
     """Pose seed for the deep pipeline: advance the PREVIOUS frame's
     device-resident track result one velocity step, falling back to the host
@@ -339,6 +341,7 @@ epipolar_match = functools.partial(jax.jit, static_argnames=("cam",))(
 
 
 @functools.partial(jax.jit, static_argnames=("cam1", "cam2", "n_pairs"))
+@f32_matmuls
 def fisheye_stereo_depth(
     cam1: cameras.Camera,          # left virtual pinhole (undistorted coords)
     cam2: cameras.Camera,          # right virtual pinhole
@@ -395,6 +398,7 @@ def fisheye_stereo_depth(
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale"))
+@f32_matmuls
 def map_new_points_multi(
     cam: cameras.Camera,
     desc1, xy1, level1, ur1, free1,          # current KF features
