@@ -108,6 +108,18 @@ class MapState:
         self.mp_visible = np.zeros((M,), np.float32)
         self.mp_obs_kf = np.full((M, D), -1, np.int32)
         self.mp_obs_idx = np.full((M, D), -1, np.int32)
+        # second-camera (fisheye-stereo right view) observation per slot —
+        # the reference stores observations as (leftIndex, rightIndex)
+        # tuples (KeyFrame.h mObservations, Frame.cc:1546) and constrains
+        # right views with dedicated body-frame edges
+        # (OptimizableTypes.h:96-160). Here the right obs rides the SAME
+        # slot as its left sibling: uv in LEFT-pinhole-equivalent pixels,
+        # level = right keypoint octave, -1 = no right observation.
+        self.mp_obs_r_uv = np.zeros((M, D, 2), np.float32)
+        self.mp_obs_r_level = np.full((M, D), -1, np.int32)
+        # cam0->right-camera extrinsics (R_rl, t_rl): x_r = R_rl x_l + t_rl;
+        # set by the fisheye-stereo driver, None for single-camera rigs
+        self.rig = None
 
         self.n_kf = 0            # next keyframe slot (monotonic)
         self.n_mp = 0            # high-water mark for map points
@@ -250,6 +262,7 @@ class MapState:
         self.mp_visible[idx] = 1.0
         self.mp_obs_kf[idx] = -1
         self.mp_obs_idx[idx] = -1
+        self.mp_obs_r_level[idx] = -1
         sel = np.nonzero(ok)[0]
         self.add_observations(ids[sel], int(first_kf), np.asarray(feat_idx)[sel])
         self.version += 1
@@ -294,6 +307,29 @@ class MapState:
         return True
 
     @_locked
+    def set_right_observations(self, kf: int, mps: np.ndarray,
+                               uv: np.ndarray, level: np.ndarray) -> int:
+        """Attach RIGHT-camera observations to existing (mp, kf) slots — the
+        fisheye-stereo second-view measurements the reference constrains with
+        EdgeSE3ProjectXYZToBody (OptimizableTypes.h:96-160; observations
+        created in Frame.cc:1546-1607). uv must be in LEFT pinhole-equivalent
+        pixels; points without an existing left observation of kf are
+        skipped. Returns the number attached."""
+        mps = np.asarray(mps, np.int64)
+        if len(mps) == 0:
+            return 0
+        slots = self.mp_obs_kf[mps]                 # (n, D)
+        hit = slots == kf
+        has = hit.any(1)
+        rows = mps[has]
+        s = np.argmax(hit[has], axis=1)
+        self.mp_obs_r_uv[rows, s] = np.asarray(uv, np.float32)[has]
+        self.mp_obs_r_level[rows, s] = np.asarray(level, np.int32)[has]
+        if len(rows):
+            self.version += 1
+        return int(len(rows))
+
+    @_locked
     def remove_observation(self, mp: int, kf: int):
         slots = np.nonzero(self.mp_obs_kf[mp] == kf)[0]
         for s in slots:
@@ -302,6 +338,7 @@ class MapState:
                 self.kf_feat_mp[kf, fi] = -1
             self.mp_obs_kf[mp, s] = -1
             self.mp_obs_idx[mp, s] = -1
+            self.mp_obs_r_level[mp, s] = -1
             self.mp_n_obs[mp] -= 1
         if self.mp_n_obs[mp] <= (1 if self.kf_feat_ur[kf, 0] < 0 else 1):
             pass  # culling decisions live in LocalMapping
@@ -316,6 +353,7 @@ class MapState:
                     self.kf_feat_mp[kf, fi] = -1
         self.mp_obs_kf[mp] = -1
         self.mp_obs_idx[mp] = -1
+        self.mp_obs_r_level[mp] = -1
         self.mp_n_obs[mp] = 0
         self.mp_valid[mp] = False
         self.mp_map_id[mp] = -1
@@ -338,6 +376,7 @@ class MapState:
         self.mp_visible[new] += self.mp_visible[old]
         self.mp_obs_kf[old] = -1
         self.mp_obs_idx[old] = -1
+        self.mp_obs_r_level[old] = -1
         self.mp_n_obs[old] = 0
         self.mp_valid[old] = False
         self._mp_free.append(old)
@@ -396,12 +435,13 @@ class MapState:
             out = [ordered[0][0]]  # keep best edge (KeyFrame.cc:499 fallback)
         return out
 
-    def local_point_ids(self, kf_ids, cap: int) -> np.ndarray:
-        """Points observed by any of kf_ids (TrackLocalMap's local set)."""
+    def local_point_ids(self, kf_ids, cap: int | None) -> np.ndarray:
+        """Points observed by any of kf_ids (TrackLocalMap's local set).
+        cap=None returns ALL such points (whole-map BA paths)."""
         mps = self.kf_feat_mp[np.asarray(kf_ids, np.int64)]
         mps = np.unique(mps[mps >= 0])
         mps = mps[self.mp_valid[mps]]
-        return mps[:cap]
+        return mps if cap is None else mps[:cap]
 
     @_locked
     def update_point_geometry(self, ids: np.ndarray):

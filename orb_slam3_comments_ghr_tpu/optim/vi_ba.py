@@ -208,9 +208,59 @@ def _vi_ba_body(cam, prob, iters, use_huber):
     return Rwb, pwb, vel, bias, p, inlier, cost
 
 
+def _solve_body_system(prob, Rwb, pwb, vel, bias, S6, rhs6, lam):
+    """Embed the visual reduced camera system (6-wide) into the 15-wide body
+    system, add the inertial + bias-walk factors, damp, and solve. Returns
+    the (K, 15) state update dx with fixed poses zeroed."""
+    K = Rwb.shape[0]
+    eye15 = jnp.eye(CDIM)
+    S = jnp.zeros((K, K, CDIM, CDIM))
+    S = S.at[:, :, :6, :6].set(S6)
+    rhs = jnp.zeros((K, CDIM)).at[:, :6].set(rhs6)
+
+    # inertial factors
+    ri, Ji, Jj = _inertial_terms(prob, Rwb, pwb, vel, bias)
+    idx_i = jnp.arange(K - 1)
+    idx_j = idx_i + 1
+    S = S.at[idx_i, idx_i].add(jnp.einsum("fri,frj->fij", Ji, Ji))
+    S = S.at[idx_j, idx_j].add(jnp.einsum("fri,frj->fij", Jj, Jj))
+    S = S.at[idx_i, idx_j].add(jnp.einsum("fri,frj->fij", Ji, Jj))
+    S = S.at[idx_j, idx_i].add(jnp.einsum("fri,frj->fij", Jj, Ji))
+    rhs = rhs.at[idx_i].add(-jnp.einsum("fri,fr->fi", Ji, ri))
+    rhs = rhs.at[idx_j].add(-jnp.einsum("fri,fr->fi", Jj, ri))
+
+    # bias random walk (acts on components 9:15 of both states)
+    rw, Lts = _walk_terms(prob, bias)
+    Jw = jnp.zeros((K - 1, 6, CDIM)).at[:, :, 9:15].set(-Lts)
+    Jw2 = jnp.zeros((K - 1, 6, CDIM)).at[:, :, 9:15].set(Lts)
+    S = S.at[idx_i, idx_i].add(jnp.einsum("fri,frj->fij", Jw, Jw))
+    S = S.at[idx_j, idx_j].add(jnp.einsum("fri,frj->fij", Jw2, Jw2))
+    S = S.at[idx_i, idx_j].add(jnp.einsum("fri,frj->fij", Jw, Jw2))
+    S = S.at[idx_j, idx_i].add(jnp.einsum("fri,frj->fij", Jw2, Jw))
+    rhs = rhs.at[idx_i].add(-jnp.einsum("fri,fr->fi", Jw, rw))
+    rhs = rhs.at[idx_j].add(-jnp.einsum("fri,fr->fi", Jw2, rw))
+
+    # damping + fixed priors. `fixed` pins only the POSE components —
+    # velocities/biases of fixed keyframes stay free (FullInertialBA
+    # fixes VertexPose but not VertexVelocity, Optimizer.cc:3284-3320).
+    diag = jnp.maximum(jnp.diagonal(S[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1), 1e-6)
+    damp = lam * diag[..., None, :] * eye15
+    pose_eye = jnp.diag(jnp.concatenate([jnp.ones(6), jnp.zeros(9)]))
+    fixed = prob.fixed[:, None, None] * ba.FIXED_PRIOR * pose_eye
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(damp + fixed + 1e-5 * eye15)
+
+    Sd = S.transpose(0, 2, 1, 3).reshape(K * CDIM, K * CDIM)
+    rd = rhs.reshape(K * CDIM)
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sd), 1e-12))
+    L = jax.scipy.linalg.cho_factor(Sd / d[:, None] / d[None, :])
+    dx = (jax.scipy.linalg.cho_solve(L, rd / d) / d).reshape(K, CDIM)
+    # zero only the pose update of fixed states
+    pose_mask = jnp.concatenate([jnp.ones(6, bool), jnp.zeros(9, bool)])
+    return jnp.where(prob.fixed[:, None] & pose_mask[None, :], 0.0, dx)
+
+
 def _vi_ba_loop(cam, prob, lam0, iters, use_huber):
     K = prob.Rwb.shape[0]
-    eye15 = jnp.eye(CDIM)
 
     def body_step(_, carry):
         Rwb, pwb, vel, bias, p, lam = carry
@@ -232,50 +282,7 @@ def _vi_ba_loop(cam, prob, lam0, iters, use_huber):
         Hpp_inv = ba._point_blocks_inv(H_pp, prob.p_valid, lam)
         S6, rhs6 = ba._reduced_system(prob.obs_cam, H_cc6, b_c6, W, Hpp_inv, b_p, K)
 
-        # embed into the 15-wide system
-        S = jnp.zeros((K, K, CDIM, CDIM))
-        S = S.at[:, :, :6, :6].set(S6)
-        rhs = jnp.zeros((K, CDIM)).at[:, :6].set(rhs6)
-
-        # inertial factors
-        ri, Ji, Jj = _inertial_terms(prob, Rwb, pwb, vel, bias)
-        idx_i = jnp.arange(K - 1)
-        idx_j = idx_i + 1
-        S = S.at[idx_i, idx_i].add(jnp.einsum("fri,frj->fij", Ji, Ji))
-        S = S.at[idx_j, idx_j].add(jnp.einsum("fri,frj->fij", Jj, Jj))
-        S = S.at[idx_i, idx_j].add(jnp.einsum("fri,frj->fij", Ji, Jj))
-        S = S.at[idx_j, idx_i].add(jnp.einsum("fri,frj->fij", Jj, Ji))
-        rhs = rhs.at[idx_i].add(-jnp.einsum("fri,fr->fi", Ji, ri))
-        rhs = rhs.at[idx_j].add(-jnp.einsum("fri,fr->fi", Jj, ri))
-
-        # bias random walk (acts on components 9:15 of both states)
-        rw, Lts = _walk_terms(prob, bias)
-        Jw = jnp.zeros((K - 1, 6, CDIM)).at[:, :, 9:15].set(-Lts)
-        Jw2 = jnp.zeros((K - 1, 6, CDIM)).at[:, :, 9:15].set(Lts)
-        S = S.at[idx_i, idx_i].add(jnp.einsum("fri,frj->fij", Jw, Jw))
-        S = S.at[idx_j, idx_j].add(jnp.einsum("fri,frj->fij", Jw2, Jw2))
-        S = S.at[idx_i, idx_j].add(jnp.einsum("fri,frj->fij", Jw, Jw2))
-        S = S.at[idx_j, idx_i].add(jnp.einsum("fri,frj->fij", Jw2, Jw))
-        rhs = rhs.at[idx_i].add(-jnp.einsum("fri,fr->fi", Jw, rw))
-        rhs = rhs.at[idx_j].add(-jnp.einsum("fri,fr->fi", Jw2, rw))
-
-        # damping + fixed priors. `fixed` pins only the POSE components —
-        # velocities/biases of fixed keyframes stay free (FullInertialBA
-        # fixes VertexPose but not VertexVelocity, Optimizer.cc:3284-3320).
-        diag = jnp.maximum(jnp.diagonal(S[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1), 1e-6)
-        damp = lam * diag[..., None, :] * eye15
-        pose_eye = jnp.diag(jnp.concatenate([jnp.ones(6), jnp.zeros(9)]))
-        fixed = prob.fixed[:, None, None] * ba.FIXED_PRIOR * pose_eye
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(damp + fixed + 1e-5 * eye15)
-
-        Sd = S.transpose(0, 2, 1, 3).reshape(K * CDIM, K * CDIM)
-        rd = rhs.reshape(K * CDIM)
-        d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sd), 1e-12))
-        L = jax.scipy.linalg.cho_factor(Sd / d[:, None] / d[None, :])
-        dx = (jax.scipy.linalg.cho_solve(L, rd / d) / d).reshape(K, CDIM)
-        # zero only the pose update of fixed states
-        pose_mask = jnp.concatenate([jnp.ones(6, bool), jnp.zeros(9, bool)])
-        dx = jnp.where(prob.fixed[:, None] & pose_mask[None, :], 0.0, dx)
+        dx = _solve_body_system(prob, Rwb, pwb, vel, bias, S6, rhs6, lam)
 
         dp_pts = ba._backsubstitute(
             prob.obs_cam, W, Hpp_inv, b_p, prob.p_valid, dx[:, :6]
@@ -302,3 +309,132 @@ def _vi_ba_loop(cam, prob, lam0, iters, use_huber):
         (prob.Rwb, prob.pwb, prob.vel, prob.bias, prob.p,
          lam0.astype(prob.pwb.dtype)),
     )
+
+
+# --------------------------------------------------------------------------
+# Whole-map FullInertialBA: same LM math, visual Schur assembled as a
+# lax.scan over point CHUNKS so HBM stays flat as the map grows — the
+# inertial-GBA equivalent of ba.bundle_adjust_resumable. The reference's
+# FullInertialBA optimizes ALL map points (Optimizer.cc:3254); this path
+# removes the first-N-by-id truncation the dense solver's memory ceiling
+# used to force.
+
+
+def _vi_vis_chunk(cam, prob, Rwb, pwb, p_c, pv_c, oc, ouv, our, olv, ovd,
+                  lam, K, use_huber):
+    """One point-chunk's contribution to the reduced 6-wide camera system
+    (mirrors ba._camera_system_chunk with body-frame pose Jacobians)."""
+    from . import robust as _robust
+
+    prob_c = prob._replace(p=p_c, p_valid=pv_c, obs_cam=oc, obs_uv=ouv,
+                           obs_ur=our, obs_level=olv, obs_valid=ovd)
+    r, Jpose, Jp, w, chi2, row_mask, delta2 = _vis_terms(
+        cam, prob_c, Rwb, pwb, p_c, use_huber
+    )
+    cost = jnp.sum(jnp.where(
+        ovd, _robust.huber_cost(chi2, delta2) if use_huber else chi2, 0.0))
+    P, D = oc.shape
+    Jcm = jnp.where(row_mask[..., None], Jpose, 0.0)
+    Jpm = jnp.where(row_mask[..., None], Jp, 0.0)
+    rm = jnp.where(row_mask, r, 0.0)
+
+    H_pp = jnp.einsum("pdri,pd,pdrj->pij", Jpm, w, Jpm)
+    b_p = -jnp.einsum("pdri,pd,pdr->pi", Jpm, w, rm)
+    Hpp_inv = ba._point_blocks_inv(H_pp, pv_c, lam)
+
+    Hc_blocks = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jcm)   # (P,D,6,6)
+    bc_blocks = -jnp.einsum("pdri,pd,pdr->pdi", Jcm, w, rm)     # (P,D,6)
+    W = jnp.einsum("pdri,pd,pdrj->pdij", Jcm, w, Jpm)           # (P,D,6,3)
+
+    flat_cam = oc.reshape(P * D)
+    H_cc = jax.ops.segment_sum(Hc_blocks.reshape(P * D, 6, 6), flat_cam, K)
+    b_c = jax.ops.segment_sum(bc_blocks.reshape(P * D, 6), flat_cam, K)
+
+    WHinv = jnp.einsum("pdij,pjk->pdik", W, Hpp_inv)            # (P,D,6,3)
+    WHb = jnp.einsum("pdia,pa->pdi", WHinv, b_p)                # (P,D,6)
+    rhs = b_c - jax.ops.segment_sum(WHb.reshape(P * D, 6), flat_cam, K)
+    S_pair = jnp.einsum("pdia,peja->pdeij", WHinv, W)           # (P,D,D,6,6)
+    pair_idx = oc[:, :, None] * K + oc[:, None, :]
+    S_corr = jax.ops.segment_sum(
+        S_pair.reshape(P * D * D, 6, 6), pair_idx.reshape(P * D * D), K * K
+    ).reshape(K, K, 6, 6)
+    S = -S_corr
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(H_cc)
+    return S, rhs, cost, W, Hpp_inv, b_p
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "iters", "use_huber", "point_chunk")
+)
+def vi_bundle_adjust_chunked(cam: cameras.Camera, prob: VIBAProblem,
+                             lam0: jnp.ndarray, iters: int = 2,
+                             use_huber: bool = True, point_chunk: int = 2048):
+    """A lam-threaded BITE of whole-map VI-LM iterations with the visual
+    Schur system accumulated over point chunks. P must be a multiple of
+    point_chunk (pad with invalid points). Returns
+    (Rwb, pwb, vel, bias, p, lam) for host-side bite chaining with abort
+    checks between bites (mbStopGBA, LoopClosing.cc:3067)."""
+    with jax.default_matmul_precision("high"):
+        K = prob.Rwb.shape[0]
+        P, D = prob.obs_cam.shape
+        C = P // point_chunk
+
+        def reshape_c(x):
+            return x.reshape((C, point_chunk) + x.shape[1:])
+
+        obs_c = (reshape_c(prob.p_valid), reshape_c(prob.obs_cam),
+                 reshape_c(prob.obs_uv), reshape_c(prob.obs_ur),
+                 reshape_c(prob.obs_level), reshape_c(prob.obs_valid))
+
+        def lm_iter(carry, _):
+            Rwb, pwb, vel, bias, p, lam = carry
+
+            def scan_body(acc, xs):
+                S_a, rhs_a, cost_a = acc
+                p_c, pv, oc, ouv, our, olv, ovd = xs
+                S, rhs, cost, W, Hpp_inv, b_p = _vi_vis_chunk(
+                    cam, prob, Rwb, pwb, p_c, pv, oc, ouv, our, olv, ovd,
+                    lam, K, use_huber
+                )
+                return (S_a + S, rhs_a + rhs, cost_a + cost), (W, Hpp_inv, b_p)
+
+            init = (jnp.zeros((K, K, 6, 6), p.dtype),
+                    jnp.zeros((K, 6), p.dtype), jnp.zeros((), p.dtype))
+            (S6, rhs6, cost_vis), (Ws, Hinvs, b_ps) = jax.lax.scan(
+                scan_body, init, (reshape_c(p),) + obs_c
+            )
+            r_imu, _, _ = _inertial_terms(prob, Rwb, pwb, vel, bias)
+            r_walk, _ = _walk_terms(prob, bias)
+            cost0 = cost_vis + jnp.sum(r_imu**2) + jnp.sum(r_walk**2)
+
+            dx = _solve_body_system(prob, Rwb, pwb, vel, bias, S6, rhs6, lam)
+            dp_pts = ba._backsubstitute(
+                prob.obs_cam, Ws.reshape(P, D, 6, 3), Hinvs.reshape(P, 3, 3),
+                b_ps.reshape(P, 3), prob.p_valid, dx[:, :6]
+            )
+
+            Rwb_n = jnp.einsum(
+                "kij,kjl->kil", Rwb, jax.vmap(lie.so3_exp)(dx[:, :3]))
+            pwb_n = pwb + dx[:, 3:6]
+            vel_n = vel + dx[:, 6:9]
+            bias_n = bias + dx[:, 9:15]
+            p_n = p + dp_pts
+
+            cost1 = _total_cost(
+                cam, prob, Rwb_n, pwb_n, vel_n, bias_n, p_n, use_huber)
+            better = cost1 < cost0
+            Rwb = jnp.where(better, Rwb_n, Rwb)
+            pwb = jnp.where(better, pwb_n, pwb)
+            vel = jnp.where(better, vel_n, vel)
+            bias = jnp.where(better, bias_n, bias)
+            p = jnp.where(better, p_n, p)
+            lam = jnp.where(better, lam * 0.5, lam * 5.0)
+            return (Rwb, pwb, vel, bias, p, lam), cost0
+
+        (Rwb, pwb, vel, bias, p, lam), _ = jax.lax.scan(
+            lm_iter,
+            (prob.Rwb, prob.pwb, prob.vel, prob.bias, prob.p,
+             lam0.astype(prob.pwb.dtype)),
+            None, length=iters,
+        )
+        return Rwb, pwb, vel, bias, p, lam

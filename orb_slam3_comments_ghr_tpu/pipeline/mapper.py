@@ -482,13 +482,16 @@ class LocalMapper:
     def full_inertial_ba(self, iters: int = 7, max_kfs: int = 256,
                          point_cap: int | None = None):
         """WHOLE-MAP FullInertialBA (Optimizer.cc:3254): every keyframe of the
-        active map's temporal chain + its landmarks, first KF's pose fixed
+        active map's temporal chain + ALL its landmarks, first KF's pose fixed
         (velocities/biases everywhere free). The reference runs this with
         100 iters at IMU init and 7 iters as the inertial GBA after loops
         (maps < 200 KFs, LoopClosing.cc:1669-1681). Runs in abortable 2-3
         iteration bites — each bite re-snapshots under the map lock and
         writes back, so it can race the front end like the visual GBA and
-        stop at a bite boundary on request_abort_gba."""
+        stop at a bite boundary on request_abort_gba. Problems past the dense
+        solver's comfortable size switch to the point-chunked whole-map
+        VI solver (vi_ba.vi_bundle_adjust_chunked) so no landmark is ever
+        silently excluded."""
         m = self.map
         self.abort_gba = False
         newest = m.kf_ids()
@@ -497,21 +500,26 @@ class LocalMapper:
         chain = self._temporal_chain(int(newest[-1]), cap=max_kfs)
         if len(chain) < 4:
             return
-        cap = point_cap or 4 * self.cfg.local_ba_points
+        dense_cap = 4 * self.cfg.local_ba_points
         done = 0
         while done < iters and not self.abort_gba:
             bite = min(3, iters - done)
-            pts = m.local_point_ids(chain, cap)
-            self._run_vi_ba(chain, pts, iters=bite, point_cap=cap)
+            pts = m.local_point_ids(chain, point_cap)
+            if len(pts) > dense_cap:
+                self._run_vi_ba(chain, pts, iters=bite, chunked=True)
+            else:
+                self._run_vi_ba(chain, pts, iters=bite, point_cap=dense_cap)
             done += bite
 
     def _run_vi_ba(self, chain, pts, iters: int, seam=(), abortable=False,
-                   point_cap: int | None = None):
+                   point_cap: int | None = None, chunked: bool = False):
         """Build + solve a visual-inertial BA over the temporal chain; first
         KF's pose fixed. Links without a preintegration — and links listed in
         `seam` (cross-map welds, where the stored preintegration belongs to a
         different predecessor) — carry no inertial factor (pre_valid=False);
-        the chain is then tied together by the shared visual observations."""
+        the chain is then tied together by the shared visual observations.
+        chunked=True routes through the point-chunked whole-map solver (no
+        point-count ceiling; P padded to a chunk multiple)."""
         import jax
         import jax.numpy as jnp
         from ..optim import vi_ba, imu as imu_mod
@@ -538,7 +546,11 @@ class LocalMapper:
         tcb = -Rcb @ tbc
         Rwb = np.zeros((K, 3, 3), np.float32)
         pwb = np.zeros((K, 3), np.float32)
-        P = _pad_pow2(len(pts), 256, point_cap or self.cfg.local_ba_points)
+        if chunked:
+            VI_CHUNK = 2048
+            P = max(VI_CHUNK, -(-len(pts) // VI_CHUNK) * VI_CHUNK)
+        else:
+            P = _pad_pow2(len(pts), 256, point_cap or self.cfg.local_ba_points)
         D = m.cfg.obs_cap
         slot = {c: i for i, c in enumerate(chain)}
         p_arr = np.zeros((P, 3), np.float32)
@@ -575,9 +587,11 @@ class LocalMapper:
             pre=pre_stack, pre_valid=jnp.asarray(pre_ok),
         )
         abort_probe = self.queue_probe if abortable else None
-        if (self.share_stream or abort_probe is not None) and iters > 2:
+        if chunked or ((self.share_stream or abort_probe is not None)
+                       and iters > 2):
             # bite-wise lam-threaded dispatch: stream yields + mbAbortBA at
-            # bite boundaries (see _run_ba)
+            # bite boundaries (see _run_ba). chunked problems always go
+            # through this path, via the point-chunked whole-map solver.
             import jax
             lam = jnp.asarray(1e-4, jnp.float32)
             Rwb_n, pwb_n = prob.Rwb, prob.pwb
@@ -588,9 +602,17 @@ class LocalMapper:
                 probd = prob._replace(
                     Rwb=Rwb_n, pwb=pwb_n, vel=vel_n, bias=bias_n, p=p_n
                 )
-                Rwb_n, pwb_n, vel_n, bias_n, p_n, lam = (
-                    vi_ba.vi_bundle_adjust_step(self.cam, probd, lam, iters=bite)
-                )
+                if chunked:
+                    Rwb_n, pwb_n, vel_n, bias_n, p_n, lam = (
+                        vi_ba.vi_bundle_adjust_chunked(
+                            self.cam, probd, lam, iters=bite,
+                            point_chunk=VI_CHUNK)
+                    )
+                else:
+                    Rwb_n, pwb_n, vel_n, bias_n, p_n, lam = (
+                        vi_ba.vi_bundle_adjust_step(
+                            self.cam, probd, lam, iters=bite)
+                    )
                 done += bite
                 if (abort_probe is not None and done >= 2
                         and abort_probe() > 0):
@@ -644,11 +666,33 @@ class LocalMapper:
         m = self.map
         kfs = [int(k) for k in m.kf_ids()]
         pts = m.local_point_ids(kfs, cap=10 ** 9)
-        if len(kfs) <= 128 and len(pts) <= self.cfg.local_ba_points:
+        if (self._dba_mesh() is None and len(kfs) <= 128
+                and len(pts) <= self.cfg.local_ba_points):
             self._run_ba(kfs, pts, iters, gauge_fix_first=True)
             return
         self.abort_gba = False  # a fresh GBA clears any stale stop request
         self.run_full_map_ba(kfs, pts, iters)
+
+    def _dba_mesh(self):
+        """Device mesh for DISTRIBUTED full-map BA, or None. Controlled by
+        cfg.dba_devices (0 = off, -1 = all local devices, N = first N); the
+        mesh needs >= 2 devices to be worth a shard_map dispatch. This is
+        the live-pipeline entry to parallel.dba (SURVEY §2.3 P6, §5.8) —
+        the GBA thread and loop-closure GBA route through run_full_map_ba
+        and pick it up automatically."""
+        n = getattr(self.cfg, "dba_devices", 0)
+        if n == 0:
+            return None
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if n < 0:
+            n = len(devs)
+        n = min(n, len(devs))
+        if n < 2:
+            return None
+        return Mesh(np.array(devs[:n]), ("mp",))
 
     def request_abort_gba(self):
         """mbStopGBA (LoopClosing.cc:1669): the running full-map BA stops at
@@ -677,7 +721,11 @@ class LocalMapper:
         cam_slot = {c: i for i, c in enumerate(cam_ids)}
         K = _pad_pow2(len(cam_ids), 32, 1 << 16)
         CHUNK = 2048
+        mesh = self._dba_mesh()
         P = -(-len(pts) // CHUNK) * CHUNK
+        if mesh is not None:  # landmark shards must divide P evenly
+            n_dev = int(mesh.devices.size)
+            P = -(-P // n_dev) * n_dev
         D = m.cfg.obs_cap
 
         cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
@@ -685,11 +733,6 @@ class LocalMapper:
         cam_fixed = np.ones((K,), bool)
         p = np.zeros((P, 3), np.float32)
         p_valid = np.zeros((P,), bool)
-        obs_cam = np.zeros((P, D), np.int32)
-        obs_uv = np.zeros((P, D, 2), np.float32)
-        obs_ur = np.full((P, D), -1.0, np.float32)
-        obs_level = np.zeros((P, D), np.int32)
-        obs_valid = np.zeros((P, D), bool)
         with m.lock:  # consistent problem snapshot vs the tracker's inserts
             for c, i in cam_slot.items():
                 cam_R[i] = m.kf_R[c]
@@ -697,9 +740,8 @@ class LocalMapper:
             cam_fixed[: len(opt_kfs)] = False
             p[: len(pts)] = m.mp_pos[pts]
             p_valid[: len(pts)] = True
-            obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
-                m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
-            )
+            (obs_cam, obs_uv, obs_ur, obs_level, obs_valid,
+             obs_rig, rig_R, rig_t) = _build_obs_tables(m, pts, cam_slot, P)
         prob = ba.BAProblem(
             cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
             cam_fixed=jnp.asarray(cam_fixed),
@@ -707,22 +749,48 @@ class LocalMapper:
             obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
             obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
             obs_valid=jnp.asarray(obs_valid),
+            obs_rig=None if obs_rig is None else jnp.asarray(obs_rig),
+            rig_R=None if rig_R is None else jnp.asarray(rig_R),
+            rig_t=None if rig_t is None else jnp.asarray(rig_t),
         )
 
-        Rj, tj, pj = prob.cam_R, prob.cam_t, prob.p
-        lam = jnp.asarray(1e-4, prob.p.dtype)
-        done = 0
-        while done < iters and not self.abort_gba:
-            bite = min(2, iters - done)
-            Rj, tj, pj, lam = ba.bundle_adjust_resumable(
-                self.cam, prob._replace(cam_R=Rj, cam_t=tj, p=pj), lam,
-                iters=bite, point_chunk=CHUNK,
+        if mesh is not None:
+            # distributed GBA (SURVEY §2.3 P6, §5.8): landmark-sharded psum
+            # BA over the device mesh, dispatched in the same abortable
+            # lam-threaded bites as the single-device path
+            from ..parallel import dba as dba_mod
+
+            sharded = dba_mod.shard_problem(prob, mesh)
+            Rj, tj, pj = sharded.cam_R, sharded.cam_t, sharded.p
+            lam = jnp.asarray(1e-4, prob.p.dtype)
+            inlier = None
+            done = 0
+            while done < iters and not self.abort_gba:
+                bite = min(2, iters - done)
+                Rj, tj, pj, inlier, _cost, lam = dba_mod.bundle_adjust_sharded(
+                    self.cam, sharded._replace(cam_R=Rj, cam_t=tj, p=pj),
+                    mesh, iters=bite, lam0=lam,
+                )
+                done += bite
+            if inlier is None:  # aborted before the first bite
+                inlier = ba.classify_observations(
+                    self.cam, prob._replace(cam_R=Rj, cam_t=tj, p=pj))
+            Rn, tn, pn, inlier = device_fetch((Rj, tj, pj, inlier))
+        else:
+            Rj, tj, pj = prob.cam_R, prob.cam_t, prob.p
+            lam = jnp.asarray(1e-4, prob.p.dtype)
+            done = 0
+            while done < iters and not self.abort_gba:
+                bite = min(2, iters - done)
+                Rj, tj, pj, lam = ba.bundle_adjust_resumable(
+                    self.cam, prob._replace(cam_R=Rj, cam_t=tj, p=pj), lam,
+                    iters=bite, point_chunk=CHUNK,
+                )
+                done += bite
+            inlier = ba.classify_observations(
+                self.cam, prob._replace(cam_R=Rj, cam_t=tj, p=pj)
             )
-            done += bite
-        inlier = ba.classify_observations(
-            self.cam, prob._replace(cam_R=Rj, cam_t=tj, p=pj)
-        )
-        Rn, tn, pn, inlier = device_fetch((Rj, tj, pj, inlier))
+            Rn, tn, pn, inlier = device_fetch((Rj, tj, pj, inlier))
 
         # ---- write-back + propagation to work created during the BA ----
         # one atomic section: poses + points + spanning-tree propagation must
@@ -766,6 +834,9 @@ class LocalMapper:
             # outlier erase (Optimizer.cc:2100-2160 post-pass)
             bad = np.argwhere(obs_valid[: len(pts)] & ~inlier[: len(pts)])
             for j, srow in bad:
+                if srow >= D:  # right-camera obs: drop just the rig row
+                    m.mp_obs_r_level[pts[j], srow - D] = -1
+                    continue
                 c = m.mp_obs_kf[pts[j], srow]
                 if c >= 0:
                     m.remove_observation(int(pts[j]), int(c))
@@ -802,11 +873,6 @@ class LocalMapper:
         cam_fixed = np.ones((K,), bool)
         p = np.zeros((P, 3), np.float32)
         p_valid = np.zeros((P,), bool)
-        obs_cam = np.zeros((P, D), np.int32)
-        obs_uv = np.zeros((P, D, 2), np.float32)
-        obs_ur = np.full((P, D), -1.0, np.float32)
-        obs_level = np.zeros((P, D), np.int32)
-        obs_valid = np.zeros((P, D), bool)
         with m.lock:  # consistent problem snapshot vs the tracker's inserts
             for c, i in cam_slot.items():
                 cam_R[i] = m.kf_R[c]
@@ -815,9 +881,8 @@ class LocalMapper:
             cam_fixed[: len(opt_kfs)] = False
             p[: len(pts)] = m.mp_pos[pts]
             p_valid[: len(pts)] = True
-            obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
-                m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
-            )
+            (obs_cam, obs_uv, obs_ur, obs_level, obs_valid,
+             obs_rig, rig_R, rig_t) = _build_obs_tables(m, pts, cam_slot, P)
 
         prob = ba.BAProblem(
             cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
@@ -826,6 +891,9 @@ class LocalMapper:
             obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
             obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
             obs_valid=jnp.asarray(obs_valid),
+            obs_rig=None if obs_rig is None else jnp.asarray(obs_rig),
+            rig_R=None if rig_R is None else jnp.asarray(rig_R),
+            rig_t=None if rig_t is None else jnp.asarray(rig_t),
         )
         abort_probe = self.queue_probe if abortable else None
         if (self.share_stream or abort_probe is not None) and iters > 2:
@@ -869,6 +937,9 @@ class LocalMapper:
             # erase outlier observations (Optimizer.cc:2100-2160 post-pass)
             bad = np.argwhere(obs_valid[: len(pts)] & ~inlier[: len(pts)])
             for j, srow in bad:
+                if srow >= D:  # right-camera obs: drop just the rig row
+                    m.mp_obs_r_level[pts[j], srow - D] = -1
+                    continue
                 c = m.mp_obs_kf[pts[j], srow]
                 if c >= 0:
                     m.remove_observation(int(pts[j]), int(c))
@@ -920,28 +991,73 @@ class LocalMapper:
 def _stack_preints(pres):
     """Stack Preintegrated pytrees whose raw-sample buffers may have
     different power-of-two capacities (the IMU frontend grows buffers per
-    keyframe gap): pad the raws to the common max, stack the rest directly."""
-    import jax
-    import jax.numpy as jnp
+    keyframe gap): pad the raws to the common max, stack the rest directly.
 
+    Leaves come from tracking-side jit programs and may be COMMITTED to the
+    tracking device; background (VI-)BA may run on a different backend
+    (system._worker_device host-CPU routing), so pull everything to host
+    first. The buffers are tiny (15x15 cov + a few raw sample rows) and this
+    runs on the worker thread — the fetch never touches the tracking
+    critical path."""
+    import jax
+
+    pres = [jax.tree.map(np.asarray, p) for p in pres]
     cap = max(int(p.acc.shape[0]) for p in pres)
     padded = []
     for p in pres:
         n = int(p.acc.shape[0])
         if n < cap:
             p = p._replace(
-                acc=jnp.pad(p.acc, ((0, cap - n), (0, 0))),
-                gyr=jnp.pad(p.gyr, ((0, cap - n), (0, 0))),
-                dts=jnp.pad(p.dts, ((0, cap - n),)),
+                acc=np.pad(p.acc, ((0, cap - n), (0, 0))),
+                gyr=np.pad(p.gyr, ((0, cap - n), (0, 0))),
+                dts=np.pad(p.dts, ((0, cap - n),)),
             )
         padded.append(p)
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+    return jax.tree.map(lambda *xs: np.stack(xs), *padded)
 
 
 def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n,) + a.shape[1:], a.dtype)
     out[: len(a)] = a[:n]
     return out
+
+def _build_obs_tables(m, pts, cam_slot, P):
+    """Allocate + fill the padded observation tables for a visual BA problem.
+
+    For fisheye-rig maps (m.rig set) the table width DOUBLES: columns
+    [D:2D) carry the right-camera observations of the same slots with
+    obs_rig=1 — the reference's EdgeSE3ProjectXYZToBody measurements
+    (OptimizableTypes.h:96-160). Returns
+    (obs_cam, obs_uv, obs_ur, obs_level, obs_valid, obs_rig, rig_R, rig_t)
+    with the last three None for single-camera maps."""
+    D = m.cfg.obs_cap
+    rig = m.rig is not None
+    D2 = 2 * D if rig else D
+    obs_cam = np.zeros((P, D2), np.int32)
+    obs_uv = np.zeros((P, D2, 2), np.float32)
+    obs_ur = np.full((P, D2), -1.0, np.float32)
+    obs_level = np.zeros((P, D2), np.int32)
+    obs_valid = np.zeros((P, D2), bool)
+    _fill_obs_table(m, pts, cam_slot, obs_cam[:, :D], obs_uv[:, :D],
+                    obs_ur[:, :D], obs_level[:, :D], obs_valid[:, :D])
+    if not rig:
+        return obs_cam, obs_uv, obs_ur, obs_level, obs_valid, None, None, None
+    n = len(pts)
+    r_lv = m.mp_obs_r_level[pts]                       # (n, D)
+    has_r = (r_lv >= 0) & obs_valid[:n, :D]
+    obs_cam[:n, D:] = obs_cam[:n, :D]
+    obs_uv[:n, D:] = m.mp_obs_r_uv[pts]
+    obs_level[:n, D:] = np.maximum(r_lv, 0)
+    obs_valid[:n, D:] = has_r
+    obs_rig = np.zeros((P, D2), np.int32)
+    obs_rig[:, D:] = 1
+    R_rl, t_rl = m.rig
+    rig_R = np.stack([np.eye(3, dtype=np.float32),
+                      np.asarray(R_rl, np.float32)])
+    rig_t = np.stack([np.zeros(3, np.float32),
+                      np.asarray(t_rl, np.float32)])
+    return obs_cam, obs_uv, obs_ur, obs_level, obs_valid, obs_rig, rig_R, rig_t
+
 
 def _fill_obs_table(m, pts, cam_slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid):
     """Vectorized observation-table fill: the SoA obs table indexes straight

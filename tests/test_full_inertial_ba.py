@@ -98,11 +98,11 @@ class TestFullInertialBA:
         calls = []
         orig = slam.mapper._run_vi_ba
 
-        def spy(chain, pts, iters, seam=(), point_cap=None):
+        def spy(chain, pts, iters, seam=(), point_cap=None, **kw):
             calls.append(iters)
             slam.mapper.abort_gba = True  # as request_abort_gba would
             return orig(chain, pts, iters=iters, seam=seam,
-                        point_cap=point_cap)
+                        point_cap=point_cap, **kw)
 
         slam.mapper._run_vi_ba = spy
         try:
@@ -110,3 +110,42 @@ class TestFullInertialBA:
         finally:
             slam.mapper._run_vi_ba = orig
         assert len(calls) == 1, calls  # stopped after the first bite
+
+    def test_past_dense_cap_runs_chunked_over_all_points(self, vi_map):
+        """When the chain's landmark count exceeds the dense solver's cap,
+        full_inertial_ba must switch to the point-chunked whole-map solver
+        and pass EVERY valid landmark — no first-N-by-id truncation
+        (Optimizer.cc:3254 optimizes all map points)."""
+        from dataclasses import replace
+        import orb_slam3_comments_ghr_tpu.optim.vi_ba as vi_ba_mod
+
+        slam, gt = vi_map
+        m = slam.map
+        mapper = slam.mapper
+        chain = mapper._temporal_chain(int(m.kf_ids()[-1]), cap=256)
+        all_pts = m.local_point_ids(chain, None)
+        orig_cfg = mapper.cfg
+        # shrink the dense cap below the real point count to force the
+        # chunked path on this map
+        small = max(16, len(all_pts) // 8 // 4)
+        orig_fn = vi_ba_mod.vi_bundle_adjust_chunked
+        seen_P = []
+
+        def spy(cam, prob, lam, iters=2, **kw):
+            seen_P.append(int(prob.p.shape[0]))
+            return orig_fn(cam, prob, lam, iters=iters, **kw)
+
+        mapper.cfg = replace(orig_cfg, local_ba_points=small)
+        vi_ba_mod.vi_bundle_adjust_chunked = spy
+        try:
+            ate0, _ = _kf_ate(slam, gt)
+            mapper.full_inertial_ba(iters=2)
+            ate1, _ = _kf_ate(slam, gt)
+        finally:
+            mapper.cfg = orig_cfg
+            vi_ba_mod.vi_bundle_adjust_chunked = orig_fn
+        assert len(all_pts) > 4 * small, "fixture map too small to exercise"
+        assert seen_P, "chunked solver never dispatched"
+        # padded problem size covers every valid landmark of the chain
+        assert seen_P[0] >= len(all_pts), (seen_P, len(all_pts))
+        assert ate1 < max(ate0 * 1.3, 0.3), (ate0, ate1)

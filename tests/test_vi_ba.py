@@ -110,3 +110,32 @@ class TestVIBA:
         d_gt = jnp.linalg.norm(pg[1:] - pg[0], axis=-1)
         ratio = d_est / jnp.maximum(d_gt, 1e-6)
         assert float(jnp.abs(ratio - 1.0).max()) < 0.02, ratio
+
+
+class TestChunkedVIBA:
+    """Whole-map point-chunked VI solver (vi_bundle_adjust_chunked): the
+    inertial-GBA path that removes the dense solver's point-count ceiling
+    (reference FullInertialBA optimizes ALL map points, Optimizer.cc:3254)."""
+
+    def test_matches_dense_bite_solver(self):
+        prob, _ = build_problem(K=6, P=256, seed=5)
+        lam0 = jnp.asarray(1e-4, jnp.float32)
+        out_d = vi_ba.vi_bundle_adjust_step(CAM, prob, lam0, iters=4)
+        out_c = vi_ba.vi_bundle_adjust_chunked(
+            CAM, prob, lam0, iters=4, point_chunk=64)
+        names = ["Rwb", "pwb", "vel", "bias", "p", "lam"]
+        for n, a, b in zip(names, out_d, out_c):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3,
+                err_msg=f"chunked solver diverges from dense on {n}")
+
+    def test_reduces_cost_multi_chunk(self):
+        prob, (Rg, pg, vg, ptg) = build_problem(K=6, P=256, seed=6)
+        lam0 = jnp.asarray(1e-4, jnp.float32)
+        Rwb, pwb, vel, bias, p, lam = vi_ba.vi_bundle_adjust_chunked(
+            CAM, prob, lam0, iters=10, point_chunk=32)  # 8 chunks
+        p_err = jnp.linalg.norm(pwb - pg, axis=-1)
+        assert float(p_err.max()) < 0.03, p_err
+        # gauge kept
+        np.testing.assert_allclose(
+            np.asarray(pwb[0]), np.asarray(prob.pwb[0]), atol=1e-4)
