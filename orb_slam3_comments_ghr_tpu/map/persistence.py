@@ -25,6 +25,7 @@ _ARRAYS = [
     "mp_pos", "mp_desc", "mp_angle", "mp_normal", "mp_min_dist", "mp_max_dist",
     "mp_valid", "mp_map_id", "mp_first_kf", "mp_n_obs", "mp_found",
     "mp_visible", "mp_obs_kf", "mp_obs_idx",
+    "mp_obs_r_uv", "mp_obs_r_level",
 ]
 
 
@@ -49,6 +50,8 @@ def save_atlas(m: MapState, path: str, voc=None):
             "scale_factor": m.cfg.scale_factor, "n_levels": m.cfg.n_levels,
         },
         "voc_checksum": vocabulary_checksum(voc) if voc is not None else "",
+        "rig": (None if m.rig is None else
+                [np.asarray(m.rig[0]).tolist(), np.asarray(m.rig[1]).tolist()]),
     }
     arrays = {k: getattr(m, k) for k in _ARRAYS}
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
@@ -77,4 +80,7 @@ def load_atlas(path: str, voc=None) -> MapState:
     m.map_imu_init = {int(k): v for k, v in meta["map_imu_init"].items()}
     m.map_viba1 = {int(k): v for k, v in meta["map_viba1"].items()}
     m.map_viba2 = {int(k): v for k, v in meta["map_viba2"].items()}
+    rig = meta.get("rig")
+    if rig is not None:
+        m.rig = (np.asarray(rig[0], np.float32), np.asarray(rig[1], np.float32))
     return m

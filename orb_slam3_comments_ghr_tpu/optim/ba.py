@@ -49,6 +49,17 @@ class BAProblem(NamedTuple):
     obs_ur: (P,D) right-u, <0 for mono observations
     obs_level: (P,D) keypoint octave
     obs_valid: (P,D) bool
+
+    Optional second-camera rig support (the reference's
+    EdgeSE3ProjectXYZToBody for non-rectified fisheye stereo,
+    OptimizableTypes.h:96-160): obs_rig selects a per-observation rigid
+    offset applied AFTER the keyframe pose — slot 0 is the primary camera
+    (identity), slot 1 the right camera (x_r = rig_R[1] x_0 + rig_t[1]).
+    All three default to None (single-camera problems pay nothing).
+
+    obs_rig: (P,D) int32 rig-camera slot, or None
+    rig_R: (S,3,3) cam0->rig-cam rotations (rig_R[0] = I), or None
+    rig_t: (S,3) matching translations, or None
     """
 
     cam_R: jnp.ndarray
@@ -61,6 +72,9 @@ class BAProblem(NamedTuple):
     obs_ur: jnp.ndarray
     obs_level: jnp.ndarray
     obs_valid: jnp.ndarray
+    obs_rig: jnp.ndarray | None = None
+    rig_R: jnp.ndarray | None = None
+    rig_t: jnp.ndarray | None = None
 
 
 FIXED_PRIOR = 1e12
@@ -73,7 +87,13 @@ def _obs_terms(cam: cameras.Camera, prob: BAProblem, R, t, p, use_huber: bool):
     row_mask (P,D,3)."""
     Ro = R[prob.obs_cam]          # (P,D,3,3)
     to = t[prob.obs_cam]          # (P,D,3)
-    pc = jnp.einsum("pdij,pj->pdi", Ro, p) + to
+    pc0 = jnp.einsum("pdij,pj->pdi", Ro, p) + to  # primary-camera frame
+    if prob.obs_rig is None:
+        pc = pc0
+    else:
+        # rig-camera chain (EdgeSE3ProjectXYZToBody): x_rig = A x_0 + b
+        A = prob.rig_R[prob.obs_rig]              # (P,D,3,3)
+        pc = jnp.einsum("pdij,pdj->pdi", A, pc0) + prob.rig_t[prob.obs_rig]
     z = jnp.maximum(pc[..., 2], 1e-6)
     uv_hat = cameras.project(cam, pc)
     is_stereo = prob.obs_ur >= 0.0
@@ -92,13 +112,20 @@ def _obs_terms(cam: cameras.Camera, prob: BAProblem, R, t, p, use_huber: bool):
 
     J_proj = cameras.project_jac(cam, pc)  # (P,D,2,3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
-    dpc_dxi = jnp.concatenate([eye, -lie.hat(pc)], axis=-1)  # (P,D,3,6)
+    # perturbation acts on the PRIMARY-camera pose: dpc0/dxi = [I, -hat(pc0)]
+    dpc0_dxi = jnp.concatenate([eye, -lie.hat(pc0)], axis=-1)  # (P,D,3,6)
+    if prob.obs_rig is None:
+        dpc_dxi = dpc0_dxi
+        Rp = Ro
+    else:  # chain through the rig offset: dpc = A dpc0
+        dpc_dxi = jnp.einsum("pdij,pdjk->pdik", A, dpc0_dxi)
+        Rp = jnp.einsum("pdij,pdjk->pdik", A, Ro)
     d_ur_dpc = J_proj[..., 0, :] + jnp.stack(
         [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf / (z * z)], axis=-1
     )  # (P,D,3)
     dh_dpc = jnp.concatenate([J_proj, d_ur_dpc[..., None, :]], axis=-2)  # (P,D,3,3)
     Jc = -jnp.einsum("pdri,pdik->pdrk", dh_dpc, dpc_dxi)  # (P,D,3,6)
-    Jp = -jnp.einsum("pdri,pdik->pdrk", dh_dpc, Ro)       # (P,D,3,3)
+    Jp = -jnp.einsum("pdri,pdik->pdrk", dh_dpc, Rp)       # (P,D,3,3)
 
     info = robust.inv_level_sigma2(prob.obs_level)
     chi2 = jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=-1) * info
@@ -282,12 +309,15 @@ def bundle_adjust_resumable(
         def reshape_c(x):
             return x.reshape((C, point_chunk) + x.shape[1:])
 
+        has_rig = prob.obs_rig is not None
         chunks = BAProblem(
             cam_R=prob.cam_R, cam_t=prob.cam_t, cam_fixed=prob.cam_fixed,
             p=reshape_c(prob.p), p_valid=reshape_c(prob.p_valid),
             obs_cam=reshape_c(prob.obs_cam), obs_uv=reshape_c(prob.obs_uv),
             obs_ur=reshape_c(prob.obs_ur), obs_level=reshape_c(prob.obs_level),
             obs_valid=reshape_c(prob.obs_valid),
+            obs_rig=reshape_c(prob.obs_rig) if has_rig else None,
+            rig_R=prob.rig_R, rig_t=prob.rig_t,
         )
 
         def lm_iter(carry, _):
@@ -296,11 +326,13 @@ def bundle_adjust_resumable(
 
             def scan_body(acc, xs):
                 S_a, rhs_a, diag_a, cost_a = acc
-                p_c, pv, oc, ouv, our, olv, ovd = xs
+                p_c, pv, oc, ouv, our, olv, ovd = xs[:7]
                 prob_c = BAProblem(
                     cam_R=R, cam_t=t, cam_fixed=prob.cam_fixed,
                     p=p_c, p_valid=pv, obs_cam=oc, obs_uv=ouv,
                     obs_ur=our, obs_level=olv, obs_valid=ovd,
+                    obs_rig=xs[7] if has_rig else None,
+                    rig_R=prob.rig_R, rig_t=prob.rig_t,
                 )
                 S, rhs, diag, cost, W, Hpp_inv, b_p = _camera_system_chunk(
                     cam, prob_c, R, t, lam, K, use_huber
@@ -316,13 +348,14 @@ def bundle_adjust_resumable(
                 jnp.zeros((K, 6), prob.p.dtype),
                 jnp.zeros((), prob.p.dtype),
             )
+            xs_scan = (
+                p_c_all, chunks.p_valid, chunks.obs_cam, chunks.obs_uv,
+                chunks.obs_ur, chunks.obs_level, chunks.obs_valid,
+            )
+            if has_rig:
+                xs_scan = xs_scan + (chunks.obs_rig,)
             (S, rhs, diag, cost0), (Ws, Hinvs, b_ps) = jax.lax.scan(
-                scan_body,
-                init,
-                (
-                    p_c_all, chunks.p_valid, chunks.obs_cam, chunks.obs_uv,
-                    chunks.obs_ur, chunks.obs_level, chunks.obs_valid,
-                ),
+                scan_body, init, xs_scan,
             )
             dxc = _solve_reduced(S, rhs, prob.cam_fixed, diag, lam, K)
             W_full = Ws.reshape(P, D, 6, 3)

@@ -238,6 +238,51 @@ track_only = jax.jit(
 )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "extract_cam", "n_features", "n_levels", "scale", "ini_th", "min_th",
+        "undistort",
+    ),
+)
+def extract_stereo_only(
+    extract_cam: cameras.Camera,
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    n_features: int = 1024,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    ini_th: float = 20.0,
+    min_th: float = 7.0,
+    undistort: bool = False,
+):
+    """Stereo extraction half for the CROSS-FRAME pipeline: both extractions
+    + row-constrained stereo matching in one dispatch, the projection-track
+    chained separately (see track_stereo_pipelined). The reference's
+    stereo front end runs the two ORBextractor passes on two threads
+    (Frame.cc stereo ctor, threadLeft/threadRight); here they are one
+    batched device program."""
+    from ..frontend.batched import extract_batched
+    from ..frontend import stereo as stereo_mod
+
+    fl = extract_batched(
+        img_l, n_features=n_features, n_levels=n_levels, scale=scale,
+        ini_th=ini_th, min_th=min_th,
+    )
+    fr = extract_batched(
+        img_r, n_features=n_features, n_levels=n_levels, scale=scale,
+        ini_th=ini_th, min_th=min_th,
+    )
+    u_right, depth = stereo_mod.stereo_match(
+        extract_cam, fl, fr, img_l.astype(jnp.float32),
+        img_r.astype(jnp.float32), scale=scale,
+    )
+    fl = fl._replace(u_right=u_right, depth=depth)
+    if undistort:
+        fl = fl._replace(xy=cameras.undistort_points(extract_cam, fl.xy))
+    return fl
+
+
 @functools.partial(jax.jit, static_argnames=("min_matches",))
 @f32_matmuls
 def chain_seed(prev_R, prev_t, prev_n, vR, vt, R0, t0, min_matches: int):
@@ -353,11 +398,14 @@ def fisheye_stereo_depth(
     """KannalaBrandt8::matchAndtriangulate equivalent for non-rectified
     stereo (KannalaBrandt8.cpp:438): epipolar-constrained descriptor matching
     across the two (already undistorted) views + DLT triangulation; returns
-    per-left-feature depth (-1 where unmatched/rejected).
+    (depth, right_idx, matched) per left feature — depth -1 where
+    unmatched/rejected, right_idx the matched right-feature index, matched
+    the validity mask.
 
-    The rectified-stereo u_right parameterization does not apply; depths seed
-    map points exactly like RGB-D (the right view's residual is then carried
-    by triangulated-point reprojection in BA)."""
+    The rectified-stereo u_right parameterization does not apply; depths
+    seed map points like RGB-D, and the matched right-view pixels become
+    second-camera observations constrained in BA via BAProblem.obs_rig
+    (the reference's EdgeSE3ProjectXYZToBody, OptimizableTypes.h:96-160)."""
     K1 = cam1.K
     K2 = cam2.K
     E = lie.hat(t12) @ R12
@@ -394,7 +442,7 @@ def fisheye_stereo_depth(
     e1 = jnp.sum((uv1_hat - xy1) ** 2, -1)
     e2 = jnp.sum((uv2_hat - xy2[idx]) ** 2, -1)
     good = good & (e1 < 5.991) & (e2 < 5.991 * sigma2[idx])
-    return jnp.where(good, z1, -1.0)
+    return jnp.where(good, z1, -1.0), idx, good
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale"))

@@ -276,9 +276,13 @@ class Tracker:
         kf = m.add_keyframe(
             np.eye(3, dtype=np.float32), np.zeros(3, np.float32), f, timestamp
         )
-        self._spawn_depth_points(kf, f, max_points=10**9, depth_cap=None)
+        # StereoInitialization spawns EVERY keypoint with measured depth
+        # (Tracking.cc:2775-2800) — the 100-plus-close rule applies only to
+        # CreateNewKeyFrame spawning (Tracking.cc:3985)
+        self._spawn_depth_points(kf, f, max_points=10**9, depth_cap=None,
+                                 close_rule=False)
         if self.imu is not None:
-            self.imu.on_new_keyframe()
+            self.imu.on_new_keyframe(timestamp)
             self.last_kf_time = timestamp
         self._register_kf(kf)
         self.last_kf = kf
@@ -289,10 +293,12 @@ class Tracker:
         self.pending_kf = kf
         return True
 
-    def _spawn_depth_points(self, kf: int, f: dict, max_points: int, depth_cap):
+    def _spawn_depth_points(self, kf: int, f: dict, max_points: int, depth_cap,
+                            close_rule: bool = True):
         """Unproject features with measured depth into new map points
         (CreateNewKeyFrame stereo path, Tracking.cc:3985-4070: closest first,
-        stop after 100 unless still closer than ThDepth)."""
+        stop after 100 unless still closer than ThDepth; close_rule=False
+        spawns all — the StereoInitialization behavior)."""
         m = self.map
         cam = self.cam
         th_depth = cam.baseline * self.cfg.depth_th_factor
@@ -304,7 +310,7 @@ class Tracker:
             if not has_depth[fi]:
                 break
             d = f["depth"][fi]
-            if created >= 100 and d > th_depth:
+            if close_rule and created >= 100 and d > th_depth:
                 break
             if depth_cap is not None and d > depth_cap:
                 break
@@ -398,7 +404,7 @@ class Tracker:
         if self.imu is not None:
             self.kf_preint[kf2] = self.imu.preintegrate_since_kf(
                 t1, t2, with_raw=True)
-            self.imu.on_new_keyframe()
+            self.imu.on_new_keyframe(t2)
             self.last_kf_time = t2
         self._register_kf(kf1)
         self._register_kf(kf2)
@@ -854,7 +860,7 @@ class Tracker:
             self.kf_preint[kf] = self.imu.preintegrate_since_kf(
                 self.last_kf_time, timestamp, with_raw=True
             )
-            self.imu.on_new_keyframe()
+            self.imu.on_new_keyframe(timestamp)
             self.last_kf_time = timestamp
         self._register_kf(kf)
         self.last_kf = kf

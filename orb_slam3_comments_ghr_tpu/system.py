@@ -180,6 +180,41 @@ class SLAM:
             ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
             undistort=self.cam.kind != cameras.PINHOLE,
         )
+        return self._pipeline_track_dispatch(feats, timestamp, out)
+
+    def track_stereo_pipelined(self, img_left, img_right, timestamp: float,
+                               imu_samples=None) -> Optional[np.ndarray]:
+        """Deep-pipelined rectified-stereo(-inertial) tracking: the stereo
+        twin of track_monocular_pipelined. Both extractions + the row
+        matcher run as one device dispatch (programs.extract_stereo_only),
+        the projection-track chains on device, and every per-frame fetch is
+        an async copy harvested `pipeline_depth` calls later — the relay
+        round-trip disappears from the critical path. This is the
+        high-throughput driver for the reference's flagship stereo-inertial
+        mode (ros_stereo_inertial.cc:72-120)."""
+        from .pipeline import programs
+
+        if imu_samples is not None:
+            self.feed_imu(imu_samples)
+        out = None
+        if len(self._pipe) >= self.cfg.pipeline_depth:
+            out = self._retire_oldest()
+        feats = programs.extract_stereo_only(
+            self.cam, jnp.asarray(img_left), jnp.asarray(img_right),
+            n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+            ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+            undistort=self.cam.kind != cameras.PINHOLE,
+        )
+        return self._pipeline_track_dispatch(feats, timestamp, out)
+
+    def _pipeline_track_dispatch(self, feats, timestamp: float, out):
+        """Shared tail of the deep-pipelined entry points: chain the pose
+        seed + projection-track on the device-resident features, start the
+        packed async fetch, and enqueue the frame context."""
+        from .pipeline import programs
+        from .utils.fetch import device_fetch_async
+
         steps = len(self._pipe) + 1
         prev = self._pipe[-1] if self._pipe else None
         ready, lp, ids, R0, t0 = self.tracker.prepare_frame(
@@ -281,40 +316,82 @@ class SLAM:
 
     def track_stereo_fisheye(self, img_left, img_right, cam_right,
                              R_lr, t_lr, timestamp: float,
-                             imu_samples=None) -> Optional[np.ndarray]:
+                             imu_samples=None,
+                             features=None) -> Optional[np.ndarray]:
         """Non-rectified (e.g. KB8 fisheye) stereo: features are undistorted
         per camera, matched under the true epipolar geometry of the extrinsics
         (x_l = R_lr x_r + t_lr), and triangulated depths seed metric map
-        points (KannalaBrandt8::matchAndtriangulate / Frame fisheye ctor)."""
+        points (KannalaBrandt8::matchAndtriangulate / Frame fisheye ctor).
+        Matched right-view pixels become second-camera observations in BA
+        (BAProblem.obs_rig). `features=(fl, fr)` injects pre-extracted
+        per-camera features (tests / external front ends)."""
         from .pipeline import programs
 
         if imu_samples is not None:
             self.feed_imu(imu_samples)
-        fl = frontend.extract(
-            jnp.asarray(img_left), n_features=self.cfg.n_features,
-            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
-            ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
-        )
-        fr = frontend.extract(
-            jnp.asarray(img_right), n_features=self.cfg.n_features,
-            n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
-            ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
-        )
+        if features is not None:
+            fl, fr = features
+        else:
+            fl = frontend.extract(
+                jnp.asarray(img_left), n_features=self.cfg.n_features,
+                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+                ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+            )
+            fr = frontend.extract(
+                jnp.asarray(img_right), n_features=self.cfg.n_features,
+                n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
+                ini_th=self.cfg.ini_th_fast, min_th=self.cfg.min_th_fast,
+            )
         xy1 = cameras.undistort_points(self.cam, fl.xy)
         xy2 = cameras.undistort_points(cam_right, fr.xy)
-        depth = programs.fisheye_stereo_depth(
-            self.geom_cam, cameras.pinhole_equivalent(cam_right),
+        geom_r = cameras.pinhole_equivalent(cam_right)
+        depth, ridx, rmatched = programs.fisheye_stereo_depth(
+            self.geom_cam, geom_r,
             xy1, fl.level, fl.desc, fl.valid,
             xy2, fr.level, fr.desc, fr.valid,
             jnp.asarray(R_lr), jnp.asarray(t_lr),
         )
         fl = fl._replace(xy=xy1, depth=depth)
-        return self.track_features(fl, timestamp)
+        # register the rig extrinsics once: x_r = R_rl x_l + t_rl
+        if self.map.rig is None:
+            R_lr_n = np.asarray(R_lr, np.float32)
+            t_lr_n = np.asarray(t_lr, np.float32)
+            self.map.rig = (R_lr_n.T, -R_lr_n.T @ t_lr_n)
+        n_kf_before = self.map.n_kf
+        pose = self.track_features(fl, timestamp)
+        # If this frame became a keyframe, attach its matched RIGHT-view
+        # pixels as second-camera observations (the reference creates them
+        # in the Frame ctor, Frame.cc:1546-1607; constrained in BA by
+        # EdgeSE3ProjectXYZToBody, OptimizableTypes.h:96-160). uv is
+        # re-expressed in LEFT pinhole-equivalent intrinsics so BA projects
+        # every observation with one camera model.
+        if self.map.n_kf > n_kf_before:
+            kf = self.map.n_kf - 1
+            mp_row = self.map.kf_feat_mp[kf]           # (N,) feature -> point
+            rm = np.asarray(rmatched)
+            sel = (mp_row >= 0) & rm[: len(mp_row)]
+            if sel.any():
+                ridx_h = np.asarray(ridx)[: len(mp_row)]
+                uv_r = np.asarray(xy2)[ridx_h[sel]]
+                g, gr = self.geom_cam, geom_r
+                norm = (uv_r - np.array([gr.cx, gr.cy])) / np.array(
+                    [gr.fx, gr.fy])
+                uv_eq = norm * np.array([g.fx, g.fy]) + np.array([g.cx, g.cy])
+                lvl_r = np.asarray(fr.level)[ridx_h[sel]]
+                self.map.set_right_observations(
+                    kf, mp_row[sel], uv_eq.astype(np.float32), lvl_r)
+        return pose
 
-    def track_rgbd(self, img, depth_map, timestamp: float) -> Optional[np.ndarray]:
-        """RGB-D frame (System::TrackRGBD, System.h:114)."""
+    def track_rgbd(self, img, depth_map, timestamp: float,
+                   imu_samples=None) -> Optional[np.ndarray]:
+        """RGB-D frame (System::TrackRGBD, System.h:114). With an IMU_RGBD
+        sensor config, `imu_samples` carries the inter-frame IMU rows just
+        like the mono/stereo entry points (the reference's RGBD-inertial
+        node, Examples/ROS/ORB_SLAM3/src/ros_rgbd_inertial.cc)."""
         from .frontend import stereo as stereo_mod
 
+        if imu_samples is not None:
+            self.feed_imu(imu_samples)
         f = frontend.extract(
             jnp.asarray(img), n_features=self.cfg.n_features,
             n_levels=self.cfg.n_levels, scale=self.cfg.scale_factor,
@@ -389,13 +466,13 @@ class SLAM:
         per-frame tracking stream. Routing background work to the host CPU
         backend removes both: the reference runs LocalMapping/LoopClosing/GBA
         on CPU threads too — this is the same heterogeneous split, expressed
-        as a jax.default_device placement. Inertial configs stay on the main
-        device (their preintegration buffers are committed there).
+        as a jax.default_device placement. Inertial configs route too:
+        preintegration buffers are pulled to host when the worker stacks
+        them (mapper._stack_preints), so VI-BA places cleanly on the CPU
+        backend.
         """
         import jax as _jax
 
-        if self.cfg.is_inertial:
-            return None
         try:
             if _jax.devices()[0].platform == "cpu":
                 return None  # already on host — nothing to route
