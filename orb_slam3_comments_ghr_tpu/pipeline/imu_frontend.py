@@ -96,10 +96,25 @@ class ImuFrontend:
             self._pre_kf_bias = np.asarray(self.bias).copy()
         return full
 
-    def on_new_keyframe(self):
-        self._since_kf = []
-        self._pre_kf = None
+    def on_new_keyframe(self, t_kf: float | None = None):
+        """Reset the from-KF accumulator at keyframe creation.
+
+        In the DEEP PIPELINE (system.track_*_pipelined) the keyframe's frame
+        time is `pipeline_depth` frames behind the IMU head: rows newer than
+        t_kf belong to the NEXT inter-KF interval and must be retained, and
+        the incremental accumulator is rebuilt over (t_kf, head] so the
+        per-frame fast path stays correct. Synchronous callers (or t_kf
+        omitted) get the plain reset."""
+        if (t_kf is None or self.last_frame_time is None
+                or self.last_frame_time <= t_kf + 1e-12):
+            self._since_kf = []
+            self._pre_kf = None
+            self._pre_kf_bias = np.asarray(self.bias).copy()
+            return
+        self._since_kf = [r for r in self._since_kf if r[0] > t_kf]
         self._pre_kf_bias = np.asarray(self.bias).copy()
+        self._pre_kf = self._integrate(
+            self._since_kf, t_kf, self.last_frame_time)
 
     def _chunk(self, rows, t0: float, t1: float, cap_min: int = 32):
         """Padded (acc, gyr, dts) arrays over [t0, t1] with a hold-to-t1 tail.
