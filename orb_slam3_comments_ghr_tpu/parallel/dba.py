@@ -43,6 +43,12 @@ def shard_problem(prob: ba.BAProblem, mesh: Mesh, axis: str = "mp") -> ba.BAProb
         obs_ur=jax.device_put(prob.obs_ur, pspec),
         obs_level=jax.device_put(prob.obs_level, pspec),
         obs_valid=jax.device_put(prob.obs_valid, pspec),
+        obs_rig=(None if prob.obs_rig is None
+                 else jax.device_put(prob.obs_rig, pspec)),
+        rig_R=(None if prob.rig_R is None
+               else jax.device_put(prob.rig_R, rspec)),
+        rig_t=(None if prob.rig_t is None
+               else jax.device_put(prob.rig_t, rspec)),
     )
 
 
@@ -53,9 +59,13 @@ def bundle_adjust_sharded(
     axis: str = "mp",
     iters: int = 10,
     use_huber: bool = True,
+    lam0=None,
 ):
     """Distributed LM with Schur reduction. Same semantics as
-    optim.ba.bundle_adjust; landmark work sharded over `mesh[axis]`."""
+    optim.ba.bundle_adjust; landmark work sharded over `mesh[axis]`.
+    Returns (cam_R, cam_t, p, inlier, cost, lam) — lam is threaded in/out so
+    the mapper can chain abortable bites exactly like the single-device GBA
+    (mbStopGBA, LoopClosing.cc:3067)."""
     K = prob.cam_R.shape[0]
 
     point_spec = P(axis)
@@ -65,15 +75,20 @@ def bundle_adjust_sharded(
         p=point_spec, p_valid=point_spec,
         obs_cam=point_spec, obs_uv=point_spec, obs_ur=point_spec,
         obs_level=point_spec, obs_valid=point_spec,
+        obs_rig=None if prob.obs_rig is None else point_spec,
+        rig_R=None if prob.rig_R is None else rep,
+        rig_t=None if prob.rig_t is None else rep,
     )
+    if lam0 is None:
+        lam0 = jnp.asarray(1e-4, prob.p.dtype)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(in_specs,),
-        out_specs=(rep, rep, point_spec, point_spec, rep),
+        in_specs=(in_specs, rep),
+        out_specs=(rep, rep, point_spec, point_spec, rep, rep),
     )
-    def run(p: ba.BAProblem):
+    def run(p: ba.BAProblem, lam_in):
         R, t, pts = p.cam_R, p.cam_t, p.p
 
         def body(_, carry):
@@ -112,13 +127,13 @@ def bundle_adjust_sharded(
             lam = jnp.where(better, lam * 0.5, lam * 5.0)
             return R, t, pts, lam
 
-        R, t, pts, _ = jax.lax.fori_loop(
-            0, iters, body, (R, t, pts, jnp.array(1e-4, R.dtype))
+        R, t, pts, lam = jax.lax.fori_loop(
+            0, iters, body, (R, t, pts, lam_in.astype(R.dtype))
         )
         local = p._replace(cam_R=R, cam_t=t, p=pts)
         _, _, _, _, chi2, _, delta2 = ba._obs_terms(cam, local, R, t, pts, False)
         inlier = p.obs_valid & (chi2 <= delta2)
         cost = jax.lax.psum(ba._cost(chi2, delta2, p.obs_valid, False), axis)
-        return R, t, pts, inlier, cost
+        return R, t, pts, inlier, cost, lam
 
-    return jax.jit(run)(prob)
+    return jax.jit(run)(prob, lam0)

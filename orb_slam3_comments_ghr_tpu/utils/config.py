@@ -58,6 +58,13 @@ class SlamConfig:
     async_mapping: bool = False          # LocalMapping/LoopClosing in a worker
                                          # thread (the reference's pipeline
                                          # parallelism); off = deterministic
+    dba_devices: int = 0                 # distributed full-map BA mesh size
+                                         # (SURVEY §2.3 P6/§5.8): 0 = off,
+                                         # -1 = all local devices, N = first N.
+                                         # When >=2 devices resolve, the
+                                         # mapper's full-map GBA dispatches
+                                         # parallel.dba.bundle_adjust_sharded
+                                         # over a landmark-sharded mesh.
     pipeline_depth: int = 3              # in-flight frames in the deep
                                          # pipeline (track_monocular_pipelined):
                                          # bookkeeping/output lag by this many

@@ -65,7 +65,7 @@ def main():
         obs_ur=put(prob.obs_ur, pt), obs_level=put(prob.obs_level, pt),
         obs_valid=put(prob.obs_valid, pt),
     )
-    R, t, p, inl, cost = dba.bundle_adjust_sharded(
+    R, t, p, inl, cost, _ = dba.bundle_adjust_sharded(
         CAM, sharded, mesh, iters=12
     )
     R = np.asarray(jax.device_get(R))
