@@ -92,10 +92,14 @@ def _mono_pass(SLAM, jnp, cam, cfg, images, deadline_s, warmup=12):
         slam.track_monocular_pipelined(jnp.asarray(img), i * 0.05)
         if i >= warmup:
             frame_times.append(time.perf_counter() - t0)
-        if (time.perf_counter() - t_start) > deadline_s and len(frame_times) >= 60:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > deadline_s and len(frame_times) >= 60:
             if 1.0 / float(np.median(frame_times)) < TARGET_FPS:
                 truncated = True
                 break
+        if elapsed > 2.0 * deadline_s and len(frame_times) >= 20:
+            truncated = True  # hard bound: don't let one burst eat the budget
+            break
     slam.flush_pipeline()
     if hasattr(slam, "wait_idle"):
         slam.wait_idle()
@@ -136,6 +140,7 @@ def _si_pass(SLAM, jnp, cam, cfg, calib, imgs, imu_rows, times,
     t_last = -1.0
     t_start = time.perf_counter()
     truncated = False
+    n_done = 0
     for i, (il, ir) in enumerate(imgs):
         ts = float(times[i])
         chunk = imu_rows[(imu_rows[:, 0] > t_last) & (imu_rows[:, 0] <= ts)]
@@ -146,7 +151,15 @@ def _si_pass(SLAM, jnp, cam, cfg, calib, imgs, imu_rows, times,
             imu_samples=chunk if len(chunk) else None)
         if i >= warmup:
             frame_times.append(time.perf_counter() - t0)
-        if (time.perf_counter() - t_start) > deadline_s and len(frame_times) >= 40:
+        n_done = i + 1
+        elapsed = time.perf_counter() - t_start
+        # HARD wall bound: a contended pass must not eat the whole budget —
+        # past the deadline stop once we have any signal, past 2x stop
+        # unconditionally (the per-frame average is still reported)
+        if elapsed > deadline_s and len(frame_times) >= 30:
+            truncated = True
+            break
+        if elapsed > 2.0 * deadline_s:
             truncated = True
             break
     slam.flush_pipeline()
@@ -154,7 +167,7 @@ def _si_pass(SLAM, jnp, cam, cfg, calib, imgs, imu_rows, times,
         slam.wait_idle()
     wall = time.perf_counter() - t_start
     if not frame_times:  # pathologically contended: nothing past warmup
-        frame_times = [wall]
+        frame_times = [wall / max(n_done, 1)]
     med = float(np.median(frame_times))
     p25 = float(np.percentile(frame_times, 25))
     return slam, med, p25, wall, truncated, len(frame_times)
@@ -268,7 +281,11 @@ def main():
             si_frames, si_trunc = [], []
             si_best = None
             si_passes = 3 if on_accel else 1
+            si_budget_s = 240.0  # whole-section wall bound
+            t_si0 = time.perf_counter()
             for p in range(si_passes):
+                if p >= 1 and (time.perf_counter() - t_si0) > si_budget_s:
+                    break  # section budget spent (heavy contention window)
                 if on_accel and p >= 1:
                     time.sleep(8.0)
                 si_rtts.append(_rtt_probe_ms(jax, jnp))

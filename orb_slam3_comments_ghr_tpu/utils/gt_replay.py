@@ -166,10 +166,13 @@ def make_room_scene(seed: int, p_wc: np.ndarray, margin: float = 3.0,
     )
 
 
-def render_room(scene: RoomScene, cam, R_cw: np.ndarray, t_cw: np.ndarray
-                ) -> np.ndarray:
+def render_room(scene: RoomScene, cam, R_cw: np.ndarray, t_cw: np.ndarray,
+                return_depth: bool = False):
     """Exact per-pixel ray vs room-box render (nearest positive face hit,
-    nearest-texel sampling), vectorized numpy."""
+    nearest-texel sampling), vectorized numpy. With return_depth, also
+    returns the exact per-pixel z-depth (camera frame) — the ideal RGB-D
+    sensor for the RGBD / IMU_RGBD replay modes (camera point = lam *
+    [x/fx, y/fy, 1], so z-depth == lam)."""
     h, w = cam.height, cam.width
     u, v = np.meshgrid(np.arange(w, dtype=np.float64),
                        np.arange(h, dtype=np.float64))
@@ -204,6 +207,9 @@ def render_room(scene: RoomScene, cam, R_cw: np.ndarray, t_cw: np.ndarray
             img = np.where(hit, tex[ti, tj], img)
             best_lam = np.where(hit, lam, best_lam)
             face += 1
+    if return_depth:
+        depth = np.where(np.isfinite(best_lam), best_lam, 0.0)
+        return img.astype(np.float32), depth.astype(np.float32)
     return img.astype(np.float32)
 
 

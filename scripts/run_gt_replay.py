@@ -25,7 +25,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", default="MH01")
     ap.add_argument("--sensor",
-                    choices=["mono", "imu-mono", "stereo", "imu-stereo"],
+                    choices=["mono", "imu-mono", "stereo", "imu-stereo",
+                             "rgbd", "imu-rgbd"],
                     default="mono")
     ap.add_argument("--render", choices=["features", "images"],
                     default="features")
@@ -64,6 +65,7 @@ def main(argv=None):
     from orb_slam3_comments_ghr_tpu.utils import evaluation, gt_replay, synthetic
     from orb_slam3_comments_ghr_tpu.utils.config import (
         SlamConfig, MONOCULAR, STEREO, IMU_MONOCULAR, IMU_STEREO,
+        RGBD, IMU_RGBD,
     )
     from orb_slam3_comments_ghr_tpu.optim import imu as imu_mod
 
@@ -75,9 +77,11 @@ def main(argv=None):
 
     cam = cameras.euroc_cam0()
     sensor = {"mono": MONOCULAR, "imu-mono": IMU_MONOCULAR,
-              "stereo": STEREO, "imu-stereo": IMU_STEREO}[args.sensor]
+              "stereo": STEREO, "imu-stereo": IMU_STEREO,
+              "rgbd": RGBD, "imu-rgbd": IMU_RGBD}[args.sensor]
     stereo = sensor in (STEREO, IMU_STEREO)
-    if stereo and cam.bf <= 0:
+    rgbd = sensor in (RGBD, IMU_RGBD)
+    if (stereo or rgbd) and cam.bf <= 0:
         from dataclasses import replace as _replace
         cam = _replace(cam, bf=float(cam.fx) * 0.11)  # EuRoC ~11 cm baseline
     cfg = SlamConfig(
@@ -120,8 +124,14 @@ def main(argv=None):
         if args.render == "features":
             feats, _ = synthetic.render_features(
                 world, cam, R_cw[i], t_cw[i], n_feat=args.n_features,
-                seed=1000 + i, stereo=stereo)
+                seed=1000 + i, stereo=stereo or rgbd)
             pose = slam.track_features(feats, ts)
+        elif rgbd:
+            # exact per-pixel depth from the room-box geometry (the ideal
+            # RGB-D sensor; reference driver: ros_rgbd_inertial.cc)
+            img, depth = gt_replay.render_room(
+                scene, cam, R_cw[i], t_cw[i], return_depth=True)
+            pose = slam.track_rgbd(img, depth, ts)
         else:
             img = gt_replay.render_room(scene, cam, R_cw[i], t_cw[i])
             if stereo:
