@@ -215,12 +215,16 @@ def main():
     probe_img = jnp.asarray(images[1])
 
     n_passes = 8 if on_accel else 2
-    deadline_s = 45.0 if on_accel else 40.0
+    deadline_s = 40.0 if on_accel else 40.0
+    mono_budget_s = 480.0  # whole-section wall bound (burst insurance)
     pass_meds, pass_p25s, pass_walls, pass_rtts, pass_frames = [], [], [], [], []
     pass_truncated = []
     device_ms_samples = []
     best = None  # (med, p25, slam)
+    t_mono0 = time.perf_counter()
     for p in range(n_passes):
+        if p >= 2 and (time.perf_counter() - t_mono0) > mono_budget_s:
+            break  # section budget spent; evidence fields carry the story
         if on_accel and p >= 1:
             time.sleep(12.0)  # let a relay-contention burst pass (ALL passes)
         pass_rtts.append(_rtt_probe_ms(jax, jnp))
