@@ -94,10 +94,19 @@ def main(argv=None):
     imu_rows = None
     imu_calib = None
     if cfg.is_inertial:
-        imu_rows = gt_replay.synthesize_imu(times[:n], p_wc[:n], q_wc[:n])
+        imu_hz = 200.0
+        imu_rows = gt_replay.synthesize_imu(times[:n], p_wc[:n], q_wc[:n],
+                                            imu_hz=imu_hz)
+        # EuRoC continuous noise DENSITIES converted to per-sample sigmas
+        # exactly as the reference's Settings does (Tracking.cc:680-681:
+        # noise * sqrt(freq), walk / sqrt(freq)). Passing raw densities as
+        # discrete sigmas makes the inertial information ~200x too tight and
+        # whole-chain inertial BA then overpowers the visual geometry.
+        sf = imu_hz ** 0.5
         imu_calib = imu_mod.ImuCalib(
             Rbc=jnp.eye(3), tbc=jnp.zeros(3),
-            noise_g=1.7e-4, noise_a=2e-3, walk_g=2e-5, walk_a=3e-3,
+            noise_g=1.7e-4 * sf, noise_a=2e-3 * sf,
+            walk_g=2e-5 / sf, walk_a=3e-3 / sf,
         )
     slam = SLAM(cam, cfg, imu_calib=imu_calib)
 
