@@ -170,13 +170,18 @@ class LoopCloser:
         s12, R12, t12, n_inliers) with S12 mapping candidate-cam points into
         current-KF cam frame, or None."""
         m = self.map
-        # exclude the WHOLE connected set (every keyframe sharing map points)
-        # — the reference queries the database with GetConnectedKeyFrames
-        # (KeyFrameDatabase.cc:692): a keyframe that co-observes the current
-        # scene is the SAME place seen from elsewhere, not a loop; treating
-        # it as one injects near-identity "corrections" whose errors
-        # accumulate. Only keyframes sharing nothing are loop candidates.
-        exclude = set([kf]) | set(m.covisibility(kf).keys())
+        # exclude the CONNECTED set — but "connected" means weight >= 15
+        # shared points, exactly the reference's semantics:
+        # KeyFrameDatabase queries skip GetConnectedKeyFrames
+        # (KeyFrameDatabase.cc:128,284), and that set is populated by
+        # UpdateConnections with th = 15 (KeyFrame.cc:499). Keyframes with
+        # a WEAK residual overlap (1-14 shared points — typical of a
+        # drifted revisit) remain loop candidates; excluding every
+        # shared-point keyframe starves loop closing in small rooms where
+        # persistent landmarks keep old keyframes weakly covisible forever.
+        exclude = set([kf]) | {
+            c for c, w in m.covisibility(kf).items() if w >= 15
+        }
         qbow = self.kfdb.query_vector(kf)
         cands = self.kfdb.detect_candidates(qbow, exclude, m, n_best=3)
         for cand in cands:
