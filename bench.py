@@ -80,6 +80,23 @@ def _device_ms_probe(jax, programs, cam, img, lp, R0, t0, n_features,
     return round((time.perf_counter() - t0_) / chain * 1e3, 2)
 
 
+def _si_device_ms_probe(jax, jnp, programs, cam, img_l, img_r, lp, R0, t0,
+                        n_features, chain=24):
+    """Amortized per-frame device time of the stereo pipeline's two
+    programs (extract_stereo_only + track_only), back-to-back with one
+    final sync — the stereo-inertial twin of _device_ms_probe."""
+    il, ir = jnp.asarray(img_l), jnp.asarray(img_r)
+    f = programs.extract_stereo_only(cam, il, ir, n_features=n_features)
+    jax.block_until_ready(programs.track_only(cam, f, lp, R0, t0))
+    t0_ = time.perf_counter()
+    out = None
+    for _ in range(chain):
+        f = programs.extract_stereo_only(cam, il, ir, n_features=n_features)
+        out = programs.track_only(cam, f, lp, R0, t0)
+    jax.block_until_ready(out)
+    return round((time.perf_counter() - t0_) / chain * 1e3, 2)
+
+
 def _mono_pass(SLAM, jnp, cam, cfg, images, deadline_s, warmup=12):
     """One full-pipeline pass; aborts early only if clearly contended
     (past the deadline AND below target with a stable median)."""
@@ -286,6 +303,7 @@ def main():
             si_best = None
             si_passes = 3 if on_accel else 1
             si_budget_s = 240.0  # whole-section wall bound
+            si_dev_samples = []
             t_si0 = time.perf_counter()
             for p in range(si_passes):
                 if p >= 1 and (time.perf_counter() - t_si0) > si_budget_s:
@@ -293,6 +311,9 @@ def main():
                 if on_accel and p >= 1:
                     time.sleep(8.0)
                 si_rtts.append(_rtt_probe_ms(jax, jnp))
+                si_dev_samples.append(_si_device_ms_probe(
+                    jax, jnp, programs, cam_b, si_imgs[1][0], si_imgs[1][1],
+                    probe_lp, probe_R0, probe_t0, cfg_si.n_features))
                 s_slam, s_med, s_p25, s_wall, s_tr, s_n = _si_pass(
                     SLAM, jnp, cam_b, cfg_si, calib, si_imgs, si_rows,
                     si_times, deadline_s=60.0)
@@ -327,6 +348,10 @@ def main():
                 "pass_wall_s": si_walls,
                 "pass_frames_timed": si_frames,
                 "pass_truncated_contended": si_trunc,
+                "device_ms_per_frame": min(si_dev_samples),
+                "device_ms_per_frame_samples": si_dev_samples,
+                "device_fps_capability": round(
+                    1e3 / max(min(si_dev_samples), 1e-6), 1),
                 "worker_errors": s_slam.worker_errors,
             }
             worker_errors += s_slam.worker_errors
