@@ -40,6 +40,10 @@ class VIBAProblem(NamedTuple):
                        (obs_cam indexes the K body states)
     pre: stacked Preintegrated (leading dim K-1) between consecutive states
     pre_valid: (K-1,) bool
+    obs_rig/rig_R/rig_t: optional second-camera rig slots exactly as in
+                       ba.BAProblem (EdgeSE3ProjectXYZToBody for fisheye
+                       stereo, OptimizableTypes.h:96-160) — the offset is
+                       applied AFTER the body->cam0 chain
     """
 
     Rwb: jnp.ndarray
@@ -58,6 +62,9 @@ class VIBAProblem(NamedTuple):
     obs_valid: jnp.ndarray
     pre: imu_mod.Preintegrated
     pre_valid: jnp.ndarray
+    obs_rig: jnp.ndarray | None = None
+    rig_R: jnp.ndarray | None = None
+    rig_t: jnp.ndarray | None = None
 
 
 def _camera_from_body(prob, Rwb, pwb):
@@ -75,7 +82,13 @@ def _vis_terms(cam, prob: VIBAProblem, Rwb, pwb, p, use_huber):
     Ro = Rcw[prob.obs_cam]          # (P,D,3,3)
     to = tcw[prob.obs_cam]
     Rbw_o = jnp.swapaxes(Rwb, -1, -2)[prob.obs_cam]  # (P,D,3,3)
-    pc = jnp.einsum("pdij,pj->pdi", Ro, p) + to
+    pc0 = jnp.einsum("pdij,pj->pdi", Ro, p) + to  # cam0 frame
+    if prob.obs_rig is None:
+        pc = pc0
+    else:  # second-camera offset (EdgeSE3ProjectXYZToBody chain)
+        A_rig = prob.rig_R[prob.obs_rig]          # (P,D,3,3)
+        pc = (jnp.einsum("pdij,pdj->pdi", A_rig, pc0)
+              + prob.rig_t[prob.obs_rig])
     z = jnp.maximum(pc[..., 2], 1e-6)
     uv_hat = cameras.project(cam, pc)
     is_stereo = prob.obs_ur >= 0.0
@@ -97,13 +110,16 @@ def _vis_terms(cam, prob: VIBAProblem, Rwb, pwb, p, use_huber):
     dh_dpc = jnp.concatenate([J_proj, d_ur_dpc[..., None, :]], axis=-2)  # (P,D,3,3)
 
     q = jnp.einsum("pdij,pdj->pdi", Rbw_o, p[:, None] - pwb[prob.obs_cam])
-    A = jnp.einsum("ij,pdjk->pdik", prob.Rcb, lie.hat(q))       # dpc/dphi
-    B = -jnp.einsum("ij,pdjk->pdik", prob.Rcb, Rbw_o)           # dpc/ddp
+    A = jnp.einsum("ij,pdjk->pdik", prob.Rcb, lie.hat(q))       # dpc0/dphi
+    B = -jnp.einsum("ij,pdjk->pdik", prob.Rcb, Rbw_o)           # dpc0/ddp
+    if prob.obs_rig is not None:  # chain through the rig offset: dpc = A_rig dpc0
+        A = jnp.einsum("pdij,pdjk->pdik", A_rig, A)
+        B = jnp.einsum("pdij,pdjk->pdik", A_rig, B)
     Jpose = -jnp.concatenate(
         [jnp.einsum("pdri,pdik->pdrk", dh_dpc, A),
          jnp.einsum("pdri,pdik->pdrk", dh_dpc, B)], axis=-1
     )  # (P,D,3,6)
-    Jp = -jnp.einsum("pdri,pdik->pdrk", dh_dpc, -B)             # (P,D,3,3) via Rcb Rbw
+    Jp = -jnp.einsum("pdri,pdik->pdrk", dh_dpc, -B)             # (P,D,3,3) via (A_rig) Rcb Rbw
 
     info = robust.inv_level_sigma2(prob.obs_level)
     chi2 = jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=-1) * info
@@ -321,13 +337,14 @@ def _vi_ba_loop(cam, prob, lam0, iters, use_huber):
 
 
 def _vi_vis_chunk(cam, prob, Rwb, pwb, p_c, pv_c, oc, ouv, our, olv, ovd,
-                  lam, K, use_huber):
+                  lam, K, use_huber, orc=None):
     """One point-chunk's contribution to the reduced 6-wide camera system
     (mirrors ba._camera_system_chunk with body-frame pose Jacobians)."""
     from . import robust as _robust
 
     prob_c = prob._replace(p=p_c, p_valid=pv_c, obs_cam=oc, obs_uv=ouv,
-                           obs_ur=our, obs_level=olv, obs_valid=ovd)
+                           obs_ur=our, obs_level=olv, obs_valid=ovd,
+                           obs_rig=orc)
     r, Jpose, Jp, w, chi2, row_mask, delta2 = _vis_terms(
         cam, prob_c, Rwb, pwb, p_c, use_huber
     )
@@ -382,19 +399,22 @@ def vi_bundle_adjust_chunked(cam: cameras.Camera, prob: VIBAProblem,
         def reshape_c(x):
             return x.reshape((C, point_chunk) + x.shape[1:])
 
+        has_rig = prob.obs_rig is not None
         obs_c = (reshape_c(prob.p_valid), reshape_c(prob.obs_cam),
                  reshape_c(prob.obs_uv), reshape_c(prob.obs_ur),
                  reshape_c(prob.obs_level), reshape_c(prob.obs_valid))
+        if has_rig:
+            obs_c = obs_c + (reshape_c(prob.obs_rig),)
 
         def lm_iter(carry, _):
             Rwb, pwb, vel, bias, p, lam = carry
 
             def scan_body(acc, xs):
                 S_a, rhs_a, cost_a = acc
-                p_c, pv, oc, ouv, our, olv, ovd = xs
+                p_c, pv, oc, ouv, our, olv, ovd = xs[:7]
                 S, rhs, cost, W, Hpp_inv, b_p = _vi_vis_chunk(
                     cam, prob, Rwb, pwb, p_c, pv, oc, ouv, our, olv, ovd,
-                    lam, K, use_huber
+                    lam, K, use_huber, orc=xs[7] if has_rig else None,
                 )
                 return (S_a + S, rhs_a + rhs, cost_a + cost), (W, Hpp_inv, b_p)
 

@@ -551,15 +551,9 @@ class LocalMapper:
             P = max(VI_CHUNK, -(-len(pts) // VI_CHUNK) * VI_CHUNK)
         else:
             P = _pad_pow2(len(pts), 256, point_cap or self.cfg.local_ba_points)
-        D = m.cfg.obs_cap
         slot = {c: i for i, c in enumerate(chain)}
         p_arr = np.zeros((P, 3), np.float32)
         p_valid = np.zeros((P,), bool)
-        obs_cam = np.zeros((P, D), np.int32)
-        obs_uv = np.zeros((P, D, 2), np.float32)
-        obs_ur = np.full((P, D), -1.0, np.float32)
-        obs_level = np.zeros((P, D), np.int32)
-        obs_valid = np.zeros((P, D), bool)
         with m.lock:  # consistent problem snapshot vs the tracker's inserts
             for i, k in enumerate(chain):
                 Rwc = m.kf_R[k].T
@@ -568,9 +562,8 @@ class LocalMapper:
                 pwb[i] = cw - Rwb[i] @ tbc
             p_arr[: len(pts)] = m.mp_pos[pts]
             p_valid[: len(pts)] = True
-            obs_cam, obs_uv, obs_ur, obs_level, obs_valid = _fill_obs_table(
-                m, pts, slot, obs_cam, obs_uv, obs_ur, obs_level, obs_valid
-            )
+            (obs_cam, obs_uv, obs_ur, obs_level, obs_valid,
+             obs_rig, rig_R, rig_t) = _build_obs_tables(m, pts, slot, P)
             vel0 = m.kf_vel[chain].copy()
             bias0 = m.kf_bias[chain].copy()
 
@@ -585,6 +578,9 @@ class LocalMapper:
             obs_ur=jnp.asarray(obs_ur), obs_level=jnp.asarray(obs_level),
             obs_valid=jnp.asarray(obs_valid),
             pre=pre_stack, pre_valid=jnp.asarray(pre_ok),
+            obs_rig=None if obs_rig is None else jnp.asarray(obs_rig),
+            rig_R=None if rig_R is None else jnp.asarray(rig_R),
+            rig_t=None if rig_t is None else jnp.asarray(rig_t),
         )
         abort_probe = self.queue_probe if abortable else None
         if chunked or ((self.share_stream or abort_probe is not None)

@@ -139,3 +139,70 @@ class TestChunkedVIBA:
         # gauge kept
         np.testing.assert_allclose(
             np.asarray(pwb[0]), np.asarray(prob.pwb[0]), atol=1e-4)
+
+
+class TestVIRigObservations:
+    """Second-camera (fisheye-stereo right view) observations in the
+    INERTIAL BA: VIBAProblem.obs_rig applies the rig offset after the
+    body->cam0 chain (EdgeSE3ProjectXYZToBody, OptimizableTypes.h:96-160)."""
+
+    def _rig(self):
+        R_rl = np.asarray(lie.so3_exp(jnp.array([0.0, 0.02, 0.0])),
+                          np.float32).T
+        t_rl = -R_rl @ np.array([0.11, 0.001, -0.002], np.float32)
+        rig_R = jnp.asarray(np.stack([np.eye(3, dtype=np.float32), R_rl]))
+        rig_t = jnp.asarray(np.stack([np.zeros(3, np.float32), t_rl]))
+        return R_rl, t_rl, rig_R, rig_t
+
+    def test_right_only_points_constrained_in_vi_ba(self):
+        prob, (Rg, pg, vg, ptg) = build_problem(K=6, P=128, seed=9,
+                                                perturb=False)
+        R_rl, t_rl, rig_R, rig_t = self._rig()
+        P, D = prob.obs_cam.shape
+        n_r = 12
+        obs_rig = np.zeros((P, D), np.int32)
+        obs_rig[:n_r] = 1  # these points are observed ONLY by the right cam
+        # re-render the right-only observations through the rig chain
+        Rcw = jnp.swapaxes(prob.Rwb, -1, -2)  # camera == body in build_problem
+        pc0 = (jnp.einsum("kij,pj->pki", Rcw, prob.p)
+               - jnp.einsum("kij,kj->ki", Rcw, prob.pwb)[None])
+        pc0 = jnp.take_along_axis(
+            pc0, jnp.asarray(prob.obs_cam)[..., None], axis=1)
+        pc = jnp.where(jnp.asarray(obs_rig)[..., None] == 1,
+                       jnp.einsum("ij,pdj->pdi", jnp.asarray(R_rl), pc0)
+                       + jnp.asarray(t_rl), pc0)
+        uv = cameras.project(CAM, pc)
+        ok = np.asarray(prob.obs_valid) & np.asarray(pc[..., 2] > 0.5)
+        # perturb ONLY the right-only landmarks
+        rng = np.random.default_rng(5)
+        p0 = np.asarray(prob.p).copy()
+        p0[:n_r] += rng.normal(0, 0.06, (n_r, 3)).astype(np.float32)
+        prob_r = prob._replace(
+            p=jnp.asarray(p0), obs_uv=uv, obs_valid=jnp.asarray(ok),
+            obs_rig=jnp.asarray(obs_rig), rig_R=rig_R, rig_t=rig_t,
+        )
+        Rwb, pwb, vel, bias, p, inl, cost = vi_ba.vi_bundle_adjust(
+            CAM, prob_r, iters=15)
+        err = np.linalg.norm(np.asarray(p)[:n_r] - np.asarray(prob.p)[:n_r],
+                             axis=-1)
+        # only points with >= 2 valid right-view observations are
+        # geometrically constrained (the rest have no gradient)
+        n_obs = np.asarray(ok)[:n_r].sum(1)
+        constrained = n_obs >= 2
+        assert int(constrained.sum()) >= 8
+        assert float(err[constrained].max()) < 0.01, (err, n_obs)
+
+    def test_chunked_matches_dense_with_rig(self):
+        prob, _ = build_problem(K=6, P=128, seed=10)
+        _, _, rig_R, rig_t = self._rig()
+        P, D = prob.obs_cam.shape
+        obs_rig = np.zeros((P, D), np.int32)  # all-left: identity rig slot
+        prob_r = prob._replace(obs_rig=jnp.asarray(obs_rig),
+                               rig_R=rig_R, rig_t=rig_t)
+        lam0 = jnp.asarray(1e-4, jnp.float32)
+        out_d = vi_ba.vi_bundle_adjust_step(CAM, prob, lam0, iters=3)
+        out_c = vi_ba.vi_bundle_adjust_chunked(
+            CAM, prob_r, lam0, iters=3, point_chunk=64)
+        for a, b in zip(out_d, out_c):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3)
