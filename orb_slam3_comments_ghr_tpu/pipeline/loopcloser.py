@@ -36,12 +36,23 @@ class LoopCloser:
         self._rng = np.random.default_rng(11)
         self.n_loops = 0
         self.n_merges = 0
+        # diagnostics (§5.5): hypothesis confirmations and why confirmed
+        # hypotheses were still rejected
+        self.n_confirms = 0
+        self.n_scale_rejects = 0
+        self.n_gravity_rejects = 0
         # 3 confirmations before correcting (LoopClosing.cc:455-523,495):
         # spatial hits (covisible KFs re-verifying the Sim3 immediately) and
         # temporal hits (consecutive incoming KFs) both count
         self.required_hits = 3
-        # pending hypothesis for temporal verification (LoopClosing.cc:455)
-        self._pending: dict | None = None
+        # PARALLEL pending hypotheses for temporal verification — the
+        # reference keeps a VECTOR of covisibility-consistent groups, each
+        # with its own consistency counter (mvConsistentGroups,
+        # LoopClosing.cc:455-523 / ORB-SLAM2 DetectLoop): with several BoW
+        # candidates per keyframe, a single-slot hypothesis thrashes in
+        # scenes where every view retrieves a different (but genuine)
+        # revisit and no chain ever reaches 3 confirmations.
+        self._pendings: list[dict] = []
         # transient background GBA thread (RunGlobalBundleAdjustment,
         # LoopClosing.cc:1669-1681 spawns; :1383-1407 kills on a new loop)
         self._gba_thread = None
@@ -76,22 +87,30 @@ class LoopCloser:
         # and more robust than a fresh BoW detection, and it keeps temporal
         # verification alive across sparse keyframe cadences
         cand_info = None
-        if self._pending is not None and self._pending.get("sim3") is not None:
-            cand_info = self._refine_pending(kf)
+        if self._pendings:
+            # geometric re-verification of the STRONGEST pending hypothesis
+            # (DetectAndReffineSim3FromLastKF, LoopClosing.cc:716)
+            best = max(self._pendings, key=lambda q: q["hits"])
+            cand_info = self._refine_pending(kf, best)
         if cand_info is None:
             cand_info = self._detect(kf)
         if cand_info is None:
-            if self._pending is not None:
-                self._pending["misses"] += 1
-                if self._pending["misses"] > 2:
-                    self._pending = None
+            for q in self._pendings:
+                q["misses"] += 1
+            self._pendings = [q for q in self._pendings if q["misses"] <= 2]
             return False
         cand, s12, R12, t12, n_matches = cand_info
         region = set([cand] + m.covisible_kfs(cand, k=10, min_weight=15))
-        if self._pending is not None and (self._pending["region"] & region):
-            self._pending["hits"] += 1
-            self._pending["region"] |= region
-            self._pending.update(sim3=(s12, R12, t12), kf=kf, cand=cand)
+        matched = None
+        for q in self._pendings:
+            if q["region"] & region:
+                matched = q
+                break
+        if matched is not None:
+            matched["hits"] += 1
+            matched["misses"] = 0
+            matched["region"] |= region
+            matched.update(sim3=(s12, R12, t12), kf=kf, cand=cand)
         else:
             # spatial verification (DetectCommonRegionsFromBoW tail,
             # LoopClosing.cc:1168-1250): covisible KFs of the CURRENT
@@ -99,11 +118,21 @@ class LoopCloser:
             # success is a confirmation, so a well-supported hypothesis can
             # confirm without waiting 3 keyframe insertions
             hits = 1 + self._spatial_verification(kf, cand, s12, R12, t12)
-            self._pending = {"region": region, "hits": hits, "misses": 0,
-                             "sim3": (s12, R12, t12), "kf": kf, "cand": cand}
-        if self._pending["hits"] < self.required_hits:
+            matched = {"region": region, "hits": hits, "misses": 0,
+                       "sim3": (s12, R12, t12), "kf": kf, "cand": cand}
+            self._pendings.append(matched)
+        # age every OTHER group (a group stays alive only while consecutive
+        # keyframes keep re-confirming it — reference consistency semantics)
+        for q in self._pendings:
+            if q is not matched:
+                q["misses"] += 1
+        self._pendings = [q for q in self._pendings if q["misses"] <= 2][-8:]
+        if matched["hits"] < self.required_hits:
             return False
-        self._pending = None
+        cand = matched["cand"]
+        s12, R12, t12 = matched["sim3"]
+        self._pendings = []
+        self.n_confirms += 1
         same_map = m.kf_map_id[cand] == m.kf_map_id[kf]
         import os as _os
         if _os.environ.get("SLAM_DEBUG_LOOPS"):
@@ -122,12 +151,25 @@ class LoopCloser:
         # roll/pitch of the correction < 0.008 rad (yaw is free)
         if self.cfg.is_inertial and m.map_imu_init.get(int(m.kf_map_id[kf]), False):
             if not same_map and not (0.9 <= s12 <= 1.1):
+                self.n_scale_rejects += 1
                 return False
             if same_map:
                 from ..ops import lie as _lie
                 import jax.numpy as _jnp
-                rot = np.asarray(_lie.so3_log(_jnp.asarray(R12)))
+                # gravity check on the WORLD-FRAME drift CORRECTION, not the
+                # raw relative rotation between the two views: the reference
+                # logs (Twc * mg2oScw) — actual cam->world composed with the
+                # loop-corrected world->cam — whose rotation is
+                # R_cur_w^T R12 R_cand_w and is identity when there is no
+                # drift (LoopClosing.cc:171-198). Gating the raw R12 rejects
+                # every genuine revisit seen from a different attitude.
+                R_corr = (m.kf_R[kf].T.astype(np.float64)
+                          @ np.asarray(R12, np.float64)
+                          @ m.kf_R[cand].astype(np.float64))
+                rot = np.asarray(_lie.so3_log(_jnp.asarray(
+                    R_corr.astype(np.float32))))
                 if abs(rot[0]) > 0.008 or abs(rot[1]) > 0.008:
+                    self.n_gravity_rejects += 1
                     return False
         # a new verified loop/merge supersedes any GBA still refining the
         # PRE-correction geometry: abort it at the next LM-bite boundary and
@@ -195,14 +237,15 @@ class LoopCloser:
                 return (cand,) + hit
         return None
 
-    def _refine_pending(self, kf: int):
-        """DetectAndReffineSim3FromLastKF (LoopClosing.cc:716): carry the
+    def _refine_pending(self, kf: int, p: dict):
+        """DetectAndReffineSim3FromLastKF (LoopClosing.cc:716): carry a
         pending hypothesis' Sim3 to the new keyframe by composing it with the
         relative motion since the hypothesis' keyframe, then demand that the
         candidate window still re-projects >= nProjMatches points. Returns
         (cand, s12, R12, t12, n_proj) like _detect, or None."""
         m = self.map
-        p = self._pending
+        if p.get("sim3") is None:
+            return None
         cand, k0 = p["cand"], p["kf"]
         if not (m.kf_valid[cand] and m.kf_valid[k0]):
             return None
